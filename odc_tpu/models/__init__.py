@@ -1,0 +1,5 @@
+from odc_tpu.models.yolov1 import YOLOv1
+from odc_tpu.models.yolov2 import YOLOv2
+from odc_tpu.models.registry import get_model, MODEL_REGISTRY
+
+__all__ = ["YOLOv1", "YOLOv2", "get_model", "MODEL_REGISTRY"]

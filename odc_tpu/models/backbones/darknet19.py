@@ -1,0 +1,54 @@
+"""Darknet-19 backbone, NHWC.
+
+Stage/channel structure matches the reference
+(``models/backbones/darknet19.py:22-221``): seven sequential stages of
+Conv+BN+LeakyReLU(0.1) with 3x3/1x1 bottlenecks and 2x2/2 max pools between
+stages.  Returns both feature taps the reference exposes for YOLOv2
+(``models/yolov2.py:91-190``): ``c5`` = [N, H/16, W/16, 512] after net5 and
+``c7`` = [N, H/32, W/32, 1024] after net7.
+
+ImageNet input normalization lives in-model like the reference
+(``darknet19.py:262-280``) but never leaves NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from odc_tpu.models.layers import ConvBnLeaky, imagenet_normalize, max_pool_2x2
+
+# (features, kernel) per conv within each stage; pools sit between stages.
+_STAGES = (
+    ((32, 3),),
+    ((64, 3),),
+    ((128, 3), (64, 1), (128, 3)),
+    ((256, 3), (128, 1), (256, 3)),
+    ((512, 3), (256, 1), (512, 3), (256, 1), (512, 3)),
+    ((1024, 3), (512, 1), (1024, 3), (512, 1), (1024, 3)),
+    ((1024, 3), (1024, 3)),
+)
+
+
+class Darknet19Backbone(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[N, H, W, 3] RGB (0-255) -> (c5 [N,H/16,W/16,512], c7 [N,H/32,W/32,1024])."""
+        h = imagenet_normalize(x, self.dtype)
+
+        c5 = None
+        for stage_idx, stage in enumerate(_STAGES):
+            if 1 <= stage_idx <= 5:  # pool before stages 2..6 (reference net2-net6)
+                h = max_pool_2x2(h)
+            for features, k in stage:
+                h = ConvBnLeaky(features, (k, k), dtype=self.dtype)(h, train)
+            if stage_idx == 4:  # after net5: [N, H/16, W/16, 512]
+                c5 = h
+
+        return c5, h

@@ -1,0 +1,72 @@
+"""Darknet-53 backbone, NHWC.
+
+Capability-parity port target: the reference ships this backbone unused
+(``models/backbones/darknet53.py:127-283``, never imported by a model — a
+YOLOv3 was never built); we provide it so a future YOLOv3 head can attach.
+
+Structure (reference ``darknet53.py:131-226``): a 3x3 stem, then five
+stride-2 3x3 downsampling convs each followed by N residual bottleneck
+blocks (1x1 reduce -> 3x3 expand, additive skip) with N = 1, 2, 8, 8, 4.
+Stride-2 convs use VALID padding like the reference's ``padding="valid"``
+(``darknet53.py:26``), so spatial dims follow floor((s-2)/2)+1.
+The reference's leftover debug prints (``darknet53.py:235-261``) are not
+reproduced.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from odc_tpu.models.layers import ConvBnLeaky, imagenet_normalize
+
+
+class _Residual(nn.Module):
+    """1x1 reduce -> 3x3 expand -> add skip (reference ConvAndResidualLayer)."""
+
+    reduce_features: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBnLeaky(self.reduce_features, (1, 1), dtype=self.dtype)(x, train)
+        h = ConvBnLeaky(self.features, (3, 3), dtype=self.dtype)(h, train)
+        return h + x
+
+
+_BLOCKS = (  # (downsample_features, repeat)
+    (64, 1),
+    (128, 2),
+    (256, 8),
+    (512, 8),
+    (1024, 4),
+)
+
+
+class Darknet53Backbone(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """[N, H, W, 3] RGB (0-255) -> final feature map [N, h, w, 1024].
+
+        Also returns the c4 (512-ch) and c3 (256-ch) taps a YOLOv3-style
+        FPN head would consume.
+        """
+        h = imagenet_normalize(x, self.dtype)
+        h = ConvBnLeaky(32, (3, 3), dtype=self.dtype)(h, train)
+
+        taps = {}
+        for features, repeat in _BLOCKS:
+            h = ConvBnLeaky(
+                features, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.dtype,
+            )(h, train)
+            for _ in range(repeat):
+                h = _Residual(features // 2, features, dtype=self.dtype)(
+                    h, train
+                )
+            taps[features] = h
+
+        return taps[256], taps[512], taps[1024]

@@ -1,0 +1,78 @@
+"""Shared NHWC building blocks.
+
+All convolutions run in NHWC with a configurable compute dtype (bfloat16 on
+TPU keeps the MXU fed at full rate; parameters stay float32).  BatchNorm
+statistics are always accumulated in float32.
+
+The Conv+BN+LeakyReLU(0.1) block mirrors the reference's ubiquitous stack
+(e.g. ``models/backbones/darknet19.py:22-31``); like the reference we keep
+the (redundant) conv bias so parameter surfaces match.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# ImageNet statistics used by every reference backbone's in-model normalize
+# (darknet19.py:262-280, googlenet.py:54-72, darknet53.py:265-283).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def imagenet_normalize(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8/float RGB [N, H, W, 3] -> normalized float, staying NHWC.
+
+    (The reference then permutes to NCHW for cuDNN; on TPU NHWC is the
+    native layout, so no transpose exists anywhere in this framework.)
+    """
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    x = (x.astype(jnp.float32) / 255.0 - mean) / std
+    return x.astype(dtype)
+
+
+class ConvBnLeaky(nn.Module):
+    """Conv (SAME) + BatchNorm + LeakyReLU(0.1)."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    negative_slope: float = 0.1
+    use_bias: bool = True  # torch Conv2d default; reference keeps it
+    padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch BatchNorm2d momentum=0.1 <=> decay 0.9
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        return nn.leaky_relu(x, self.negative_slope).astype(self.dtype)
+
+
+def max_pool_2x2(x):
+    """2x2/2 max pool (reference MaxPool2d between Darknet stages)."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def max_pool_3x3_ceil(x):
+    """3x3/2 max pool with ceil_mode=True (torchvision GoogLeNet pools)."""
+    return nn.max_pool(
+        x, window_shape=(3, 3), strides=(2, 2), padding=((0, 1), (0, 1))
+    )

@@ -1,0 +1,81 @@
+"""YOLOv2 network + decode glue.
+
+Network (reference ``models/yolov2.py:41-431``): Darknet-19 with two taps
+(c5 [N,H/16,W/16,512], c7 [N,H/32,W/32,1024]) -> passthrough neck ->
+Conv3x3(3072->1024)+BN+LeakyReLU(0.1) -> Conv1x1(->A*(5+C)) -> reshape
+[N, Hg, Wg, A, 5+C] with the 5 hardcoded anchors (``yolov2.py:49-55``).
+
+The reference's neck is **quadrant stacking**, not the paper's
+space-to-depth reorg (SURVEY.md note A, ``yolov2.py:254-301``): it
+concatenates the left/right halves then top/bottom halves of the c5 map onto
+channels, so the 2048 passthrough channels are the TL/TR/BL/BR *quadrants*
+at 13x13.  We reproduce that by default and expose the paper-correct
+``space_to_depth`` variant as a flag.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from odc_tpu.models.backbones.darknet19 import Darknet19Backbone
+from odc_tpu.models.layers import ConvBnLeaky
+from odc_tpu.ops.decode import decode_v2, Detections, YOLOV2_ANCHORS
+
+
+def quadrant_stack(h1: jnp.ndarray) -> jnp.ndarray:
+    """[N, 2h, 2w, C] -> [N, h, w, 4C] with channel blocks = TL/TR/BL/BR
+    quadrants (reference yolov2.py:254-301 semantics, NHWC)."""
+    _, hh, ww, _ = h1.shape
+    h, w = hh // 2, ww // 2
+    left, right = h1[:, :, :w, :], h1[:, :, w:, :]
+    hw = jnp.concatenate([left, right], axis=-1)  # [N, 2h, w, 2C]
+    top, bottom = hw[:, :h, :, :], hw[:, h:, :, :]
+    return jnp.concatenate([top, bottom], axis=-1)  # [N, h, w, 4C]
+
+
+def space_to_depth(h1: jnp.ndarray) -> jnp.ndarray:
+    """Paper-style stride-2 reorg: [N, 2h, 2w, C] -> [N, h, w, 4C]."""
+    n, hh, ww, c = h1.shape
+    h, w = hh // 2, ww // 2
+    h1 = h1.reshape(n, h, 2, w, 2, c)
+    h1 = h1.transpose(0, 1, 3, 2, 4, 5)
+    return h1.reshape(n, h, w, 4 * c)
+
+
+class YOLOv2(nn.Module):
+    num_cls: int = 20
+    anchors: Tuple[Tuple[float, float], ...] = YOLOV2_ANCHORS
+    neck: str = "quadrant"  # "quadrant" (reference parity) | "space_to_depth"
+    dtype: jnp.dtype = jnp.float32
+
+    image_size: Tuple[int, int] = (416, 416)
+
+    @property
+    def num_anchor_box(self) -> int:
+        return len(self.anchors)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """[N, H, W, 3] RGB (0-255) -> raw head [N, Hg, Wg, A, 5 + C]."""
+        a = self.num_anchor_box
+        out_dim = a * (5 + self.num_cls)
+
+        c5, c7 = Darknet19Backbone(dtype=self.dtype)(x, train)
+
+        reorg = quadrant_stack if self.neck == "quadrant" else space_to_depth
+        h = jnp.concatenate([reorg(c5), c7], axis=-1)  # [N, Hg, Wg, 3072]
+
+        h = ConvBnLeaky(1024, (3, 3), dtype=self.dtype)(h, train)
+        y = nn.Conv(
+            out_dim, (1, 1), padding="SAME",
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(h)
+
+        n, hg, wg, _ = y.shape
+        return y.reshape(n, hg, wg, a, 5 + self.num_cls).astype(jnp.float32)
+
+    def decode(self, y, image_hw=None) -> Detections:
+        return decode_v2(y, image_hw or self.image_size, self.anchors)

@@ -1,14 +1,16 @@
-"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test config: force the CPU backend with 8 virtual devices.
 
-This is the standard JAX substitute for multi-chip hardware (SURVEY.md §4):
-sharded train/eval steps are exercised on fake devices so the full pjit path
-compiles and runs in CI without TPUs.
+The ambient environment pins ``JAX_PLATFORMS`` to a tunneled TPU backend and
+``sitecustomize`` imports jax at interpreter start, so plain env-var edits
+here are too late — we must go through ``jax.config`` before any backend
+initializes.  8 virtual CPU devices are the standard JAX substitute for
+multi-chip hardware (SURVEY.md §4): sharded train/eval steps compile and run
+in CI without TPUs.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,10 +19,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import importlib.util
 import pathlib
 
 import pytest
+
+assert jax.devices()[0].platform == "cpu"
 
 REFERENCE_UTILS = pathlib.Path("/root/reference/models/utils.py")
 
