@@ -1,0 +1,169 @@
+"""The five-part masked-mean YOLO loss, computed on compact targets.
+
+Reference semantics (``models/yolov1.py:556-931``, ``models/yolov2.py:747-
+1140``), reproduced exactly but re-derived for compact padded targets:
+
+The reference materializes per-box dense grids ``[M, Hg, Wg, A, ...]`` and
+takes ``masked_select(...).mean()`` per term.  Every selected element lives
+at a box's own (cell, responsible-anchor) coordinate, so each term reduces
+to a gather + masked mean over boxes:
+
+* responsible anchor = argmax over anchors of IoU(pred boxes at the box's
+  cell, gt box), IoU detached (yolov1.py:784-818);
+* ``loss_xy``   — mean over 2·M elements of (σ(txty)_tgt − σ(txty)_pred)²;
+* ``loss_wh``   — same in sqrt-space: v1 ``sqrt(σ(twth))`` (yolov1.py:745),
+  v2 ``sqrt(bwbh / anchor)`` vs ``sqrt(exp(twth))`` (yolov2.py:931-947);
+* ``loss_conf`` — (IoU − conf)² at the responsible slot, mean over M
+  (conf target is the **IoU**, yolov1.py:872-874);
+* ``loss_noobj``— mean of conf² over every *not-responsible* slot of every
+  per-box map (yolov1.py:893-897).  For box b in image i the map holds
+  image i's full conf grid minus b's one responsible slot, so
+  ``sum = Σ_b (Σ_grid conf²(i(b)) − conf²_resp(b))`` over a count of
+  ``M·(Hg·Wg·A − 1)`` — an O(B·G + M) computation instead of the
+  reference's O(M·G) memory;
+* ``loss_cls``  — Σ_C (onehot − cls_prob)², v1 masked by the obj *cell*
+  (per-cell class prob, yolov1.py:914-917), v2 by the responsible anchor
+  (yolov2.py:1123-1126); mean over M.
+
+All means divide by the *true* selected-element count (the reference's
+``masked_select().mean()`` does the same), with a max(count, 1) guard so an
+empty batch yields 0 instead of NaN.  Total = Σ λᵢ·partᵢ with the λ keys of
+``config.py:28-52``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.core.boxes import iou
+from odc_tpu.ops.assign import YoloTargets
+from odc_tpu.ops.decode import Detections
+
+
+class Lambdas(NamedTuple):
+    """Loss weights; names mirror the reference TRAIN_CONFIG keys."""
+
+    lambda_xy: float = 5.0
+    lambda_wh: float = 5.0
+    lambda_conf: float = 1.0
+    lambda_noobj: float = 0.5
+    lambda_cls: float = 1.0
+
+
+class LossParts(NamedTuple):
+    xy: jax.Array
+    wh: jax.Array
+    conf: jax.Array
+    noobj: jax.Array
+    cls: jax.Array
+
+
+def _gather_cells(pred, batch_idx, cy, cx):
+    """pred [B, Hg, Wg, ...] gathered at per-box cells -> [B, M, ...]."""
+    return pred[batch_idx, cy, cx]
+
+
+def _safe_mean(x, mask, denom):
+    return jnp.sum(x * mask) / jnp.maximum(denom, 1.0)
+
+
+def yolo_loss(
+    det: Detections,
+    targets: YoloTargets,
+    lambdas: Lambdas = Lambdas(),
+    mode: str = "v2",
+    anchors: Optional[Tuple[Tuple[float, float], ...]] = None,
+) -> Tuple[jax.Array, LossParts]:
+    """Compute the λ-weighted five-part loss.
+
+    Args:
+        det: decoded predictions for the image batch.
+        targets: compact padded targets from :mod:`odc_tpu.ops.assign`.
+        lambdas: loss weights.
+        mode: "v1" or "v2" (wh space + cls masking differ, see module doc).
+        anchors: required for mode="v2" — (w, h) priors in grid units.
+    """
+    b, hg, wg, a = det.conf.shape
+    m = targets.valid.shape[1]
+    grid_slots = hg * wg * a
+
+    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1] -> bcast [B, M]
+    cy = targets.cell[..., 0]
+    cx = targets.cell[..., 1]
+
+    # Per-box gathers at the target cell: [B, M, A, ...].
+    sig_txty_p = _gather_cells(det.sig_txty, batch_idx, cy, cx)
+    twth_p = _gather_cells(det.twth, batch_idx, cy, cx)
+    boxes_p = _gather_cells(det.boxes, batch_idx, cy, cx)
+    conf_p = _gather_cells(det.conf, batch_idx, cy, cx)
+
+    # Responsible anchor: argmax IoU(pred, gt) at the cell, IoU detached
+    # (yolov1.py:784-818).
+    iou_cell = jax.lax.stop_gradient(
+        iou(boxes_p, targets.box[:, :, None, :])
+    )  # [B, M, A]
+    resp = jnp.argmax(iou_cell, axis=-1)  # [B, M]
+
+    def take_resp(x):  # [B, M, A, ...] -> [B, M, ...]
+        idx = resp[..., None, None] if x.ndim == 4 else resp[..., None]
+        return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=2).squeeze(2)
+
+    sig_txty_r = take_resp(sig_txty_p)            # [B, M, 2]
+    twth_r = take_resp(twth_p)                    # [B, M, 2]
+    conf_r = take_resp(conf_p[..., None]).squeeze(-1)  # [B, M]
+    iou_r = take_resp(iou_cell[..., None]).squeeze(-1)  # [B, M]
+
+    valid = targets.valid.astype(jnp.float32)  # [B, M]
+    num_boxes = jnp.sum(valid)
+
+    # xy ------------------------------------------------------------------
+    sq_xy = jnp.sum((targets.sig_txty - sig_txty_r) ** 2, axis=-1)
+    loss_xy = _safe_mean(sq_xy, valid, 2.0 * num_boxes)
+
+    # wh (sqrt space) ------------------------------------------------------
+    if mode == "v1":
+        wh_tgt = jnp.sqrt(targets.twth)        # sqrt(σ-space wh)
+        wh_pred = jnp.sqrt(twth_r)             # pred already σ(twth)
+    else:
+        if anchors is None:
+            raise ValueError("anchors required for mode='v2'")
+        pwph = jnp.asarray(anchors, dtype=jnp.float32)  # [A, 2]
+        pwph_r = pwph[resp]                    # [B, M, 2]
+        wh_tgt = jnp.sqrt(targets.twth / pwph_r)
+        wh_pred = jnp.sqrt(twth_r)             # pred already exp(twth)
+    sq_wh = jnp.sum((wh_tgt - wh_pred) ** 2, axis=-1)
+    loss_wh = _safe_mean(sq_wh, valid, 2.0 * num_boxes)
+
+    # conf (target = IoU) --------------------------------------------------
+    loss_conf = _safe_mean((iou_r - conf_r) ** 2, valid, num_boxes)
+
+    # noobj ----------------------------------------------------------------
+    conf_sq_sum = jnp.sum(det.conf**2, axis=(1, 2, 3))  # [B]
+    per_box_sum = conf_sq_sum[:, None] - conf_r**2  # [B, M]
+    noobj_count = num_boxes * (grid_slots - 1)
+    loss_noobj = _safe_mean(per_box_sum, valid, noobj_count)
+
+    # cls ------------------------------------------------------------------
+    num_cls = det.cls_prob.shape[-1]
+    onehot = jax.nn.one_hot(targets.cls, num_cls, dtype=jnp.float32)
+    if mode == "v1":
+        # Per-cell class prob, masked by the obj cell (yolov1.py:914-917).
+        cls_p = _gather_cells(det.cls_prob, batch_idx, cy, cx)  # [B, M, C]
+    else:
+        cls_all = _gather_cells(det.cls_prob, batch_idx, cy, cx)  # [B, M, A, C]
+        cls_p = take_resp(cls_all)  # [B, M, C]
+    sq_cls = jnp.sum((onehot - cls_p) ** 2, axis=-1)
+    loss_cls = _safe_mean(sq_cls, valid, num_boxes)
+
+    parts = LossParts(loss_xy, loss_wh, loss_conf, loss_noobj, loss_cls)
+    total = (
+        lambdas.lambda_xy * loss_xy
+        + lambdas.lambda_wh * loss_wh
+        + lambdas.lambda_conf * loss_conf
+        + lambdas.lambda_noobj * loss_noobj
+        + lambdas.lambda_cls * loss_cls
+    )
+    return total, parts
