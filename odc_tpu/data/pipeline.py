@@ -1,0 +1,191 @@
+"""Batched detection input pipeline.
+
+Replaces the reference's per-sample, per-tensor host→device collate
+(``models/yolov1.py:1178-1355``, the ★ H2D-per-box anti-pattern in
+SURVEY.md §3.5) with:
+
+* one uint8 image tensor per batch (normalization happens on device, fused
+  into the first conv) and compact padded targets (``odc_tpu/ops/assign``,
+  float64 host math for bitwise parity);
+* JPEG decode + resize through the native C++ loader when built (libjpeg +
+  cv2-convention bilinear, matching the reference's cv2 path) or PIL;
+* a background prefetch thread so decode overlaps device compute —
+  the reference runs ``num_workers=0``, fully serial (train.py:64-71).
+
+Multi-scale training (v2): the pipeline re-targets its static image size
+from ``multiscale_sizes`` per epoch according to the configured policy
+(SURVEY.md note D: the reference re-picks only at epoch 1 due to a
+precedence bug; both behaviors supported).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from odc_tpu.data.voc import VOCDataset, CLASS_LIST
+from odc_tpu.ops.assign import assign_numpy
+
+
+class Batch(NamedTuple):
+    """Everything the train step consumes, as host numpy (static shapes)."""
+
+    image: np.ndarray     # [B, H, W, 3] uint8
+    cell: np.ndarray      # [B, M, 2] int32
+    sig_txty: np.ndarray  # [B, M, 2] f32
+    twth: np.ndarray      # [B, M, 2] f32
+    box: np.ndarray       # [B, M, 4] f32
+    cls: np.ndarray       # [B, M] int32
+    valid: np.ndarray     # [B, M] bool
+    img_id: np.ndarray    # [B] int32 (dataset indices)
+
+
+def _resize_with_boxes(img, boxes, out_hw):
+    """cv2-convention bilinear resize + box rescale (the reference's
+    albumentations Resize behavior)."""
+    from odc_tpu.native import loader as native_loader
+
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    if (h, w) != (oh, ow):
+        if native_loader.available():
+            img = native_loader.resize_bilinear(img, (oh, ow))
+        else:
+            from PIL import Image
+
+            img = np.asarray(
+                Image.fromarray(img).resize((ow, oh), Image.BILINEAR)
+            )
+        if len(boxes):
+            boxes = np.asarray(boxes, np.float64) * np.array(
+                [ow / w, oh / h, ow / w, oh / h]
+            )
+    return img, np.asarray(boxes, np.float64).reshape(-1, 4)
+
+
+AugmentFn = Callable[
+    [np.ndarray, np.ndarray, np.ndarray, np.random.Generator],
+    Tuple[np.ndarray, np.ndarray, np.ndarray],
+]
+
+
+class DetectionPipeline:
+    """Epoch iterator producing static-shape :class:`Batch` objects."""
+
+    def __init__(
+        self,
+        dataset: VOCDataset,
+        image_hw: Tuple[int, int] = (416, 416),
+        batch_size: int = 32,
+        max_boxes: int = 64,
+        mode: str = "v2",
+        shuffle: bool = True,
+        augment: Optional[AugmentFn] = None,
+        cls_list: Sequence[str] = tuple(CLASS_LIST),
+        seed: int = 0,
+        drop_remainder: bool = True,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.image_hw = tuple(image_hw)
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.mode = mode
+        self.shuffle = shuffle
+        self.augment = augment
+        self.cls2idx = {c: i for i, c in enumerate(cls_list)}
+        self.rng = np.random.default_rng(seed)
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+
+    def set_image_size(self, image_hw: Tuple[int, int]) -> None:
+        """Re-target the static image size (multi-scale training)."""
+        self.image_hw = tuple(image_hw)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # -- sample/batch construction ----------------------------------------
+
+    def _load_sample(self, idx: int):
+        img_id, img, annot = self.dataset[idx]
+        boxes = np.asarray(annot["bbox_list"], np.float64).reshape(-1, 4)
+        labels = np.asarray(
+            [self.cls2idx[c] for c in annot["lbl_list"]], np.int32
+        )
+        if self.augment is not None:
+            img, boxes, labels = self.augment(img, boxes, labels, self.rng)
+        img, boxes = _resize_with_boxes(img, boxes, self.image_hw)
+        return img_id, img, boxes, labels
+
+    def _make_batch(self, indices) -> Batch:
+        b = len(indices)
+        m = self.max_boxes
+        h, w = self.image_hw
+        image = np.zeros((b, h, w, 3), np.uint8)
+        cell = np.zeros((b, m, 2), np.int32)
+        sig_txty = np.zeros((b, m, 2), np.float32)
+        twth = np.zeros((b, m, 2), np.float32)
+        box = np.zeros((b, m, 4), np.float32)
+        cls = np.zeros((b, m), np.int32)
+        valid = np.zeros((b, m), bool)
+        img_ids = np.zeros((b,), np.int32)
+
+        for i, idx in enumerate(indices):
+            img_id, img, boxes, labels = self._load_sample(idx)
+            image[i] = img
+            img_ids[i] = img_id
+            (
+                cell[i], sig_txty[i], twth[i], box[i], cls[i], valid[i]
+            ) = assign_numpy(
+                boxes, labels, self.image_hw, mode=self.mode, max_boxes=m
+            )
+
+        return Batch(image, cell, sig_txty, twth, box, cls, valid, img_ids)
+
+    # -- iteration ----------------------------------------------------------
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        stop = (len(order) // bs) * bs if self.drop_remainder else len(order)
+        for start in range(0, stop, bs):
+            yield order[start : start + bs]
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.prefetch <= 0:
+            for idxs in self._batch_indices():
+                yield self._make_batch(idxs)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        errbox = []
+
+        def worker():
+            try:
+                for idxs in self._batch_indices():
+                    q.put(self._make_batch(idxs))
+            except BaseException as e:  # surface worker errors in main thread
+                errbox.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if errbox:
+            raise errbox[0]

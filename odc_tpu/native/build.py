@@ -1,0 +1,27 @@
+"""Build the native loader: ``python -m odc_tpu.native.build``."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "src", "loader.cc")
+OUT = os.path.join(HERE, "libodc_loader.so")
+
+
+def build(verbose: bool = True) -> str:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", OUT, SRC, "-ljpeg",
+    ]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return OUT
+
+
+if __name__ == "__main__":
+    build()
+    sys.exit(0)

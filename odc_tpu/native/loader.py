@@ -1,0 +1,128 @@
+"""ctypes binding to the native data-loader core (``libodc_loader.so``).
+
+The reference delegates its native data path to cv2/albumentations (C++);
+ours is a small libjpeg-based C++ library (``odc_tpu/native/src``) doing
+JPEG decode + bilinear resize off the Python GIL, loaded via ctypes.
+Falls back cleanly (``available() -> False``) when the library hasn't been
+built; ``python -m odc_tpu.native.build`` builds it with g++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libodc_loader.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.odc_jpeg_dims.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.odc_jpeg_dims.restype = ctypes.c_int
+        lib.odc_decode_jpeg.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.odc_decode_jpeg.restype = ctypes.c_int
+        lib.odc_decode_resize_jpeg.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.odc_decode_resize_jpeg.restype = ctypes.c_int
+        lib.odc_resize_bilinear.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.odc_resize_bilinear.restype = ctypes.c_int
+        _lib = lib
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_jpeg(path: str) -> np.ndarray:
+    """JPEG file -> RGB uint8 [H, W, 3]."""
+    lib = _load()
+    assert lib is not None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.odc_jpeg_dims(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        raise IOError(f"cannot read JPEG header: {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.odc_decode_jpeg(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h.value,
+        w.value,
+    )
+    if rc != 0:
+        raise IOError(f"JPEG decode failed ({rc}): {path}")
+    return out
+
+
+def decode_resize_jpeg(path: str, out_hw: Tuple[int, int]) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """JPEG -> bilinear-resized RGB uint8 [out_h, out_w, 3].
+
+    Returns (image, (orig_h, orig_w)) so box coordinates can be rescaled.
+    """
+    lib = _load()
+    assert lib is not None
+    oh, ow = out_hw
+    out = np.empty((oh, ow, 3), np.uint8)
+    src_h = ctypes.c_int()
+    src_w = ctypes.c_int()
+    rc = lib.odc_decode_resize_jpeg(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        oh,
+        ow,
+        ctypes.byref(src_h),
+        ctypes.byref(src_w),
+    )
+    if rc != 0:
+        raise IOError(f"JPEG decode+resize failed ({rc}): {path}")
+    return out, (src_h.value, src_w.value)
+
+
+def resize_bilinear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """RGB uint8 [H, W, 3] -> bilinear-resized [out_h, out_w, 3]."""
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img)
+    oh, ow = out_hw
+    out = np.empty((oh, ow, 3), np.uint8)
+    rc = lib.odc_resize_bilinear(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        img.shape[0], img.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        oh, ow,
+    )
+    if rc != 0:
+        raise RuntimeError("native resize failed")
+    return out

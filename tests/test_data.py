@@ -1,0 +1,95 @@
+import os
+
+import numpy as np
+import pytest
+
+from odc_tpu.data.voc import VOC, make_synthetic_voc, parse_annotation, CLASS_LIST
+from odc_tpu.data.pipeline import DetectionPipeline
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    return make_synthetic_voc(str(root), num_train=10, num_val=4, seed=3)
+
+
+def test_index_and_cache(voc_root):
+    voc = VOC(dataset_dir=voc_root)
+    assert len(voc.train_dataset) == 10
+    assert len(voc.val_dataset) == 4
+    assert os.path.exists(os.path.join(voc_root, "voc_dataset.pkl"))
+    # Cache hit path.
+    voc2 = VOC(dataset_dir=voc_root)
+    assert voc2.train_img_path_list == voc.train_img_path_list
+    assert voc.cls2idx["aeroplane"] == 0 and len(voc.cls_list) == 20
+
+
+def test_dataset_sample_contract(voc_root):
+    voc = VOC(dataset_dir=voc_root)
+    idx, img, annot = voc.train_dataset[0]
+    assert idx == 0
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    assert set(annot) == {"bbox_list", "lbl_list"}
+    assert len(annot["bbox_list"]) == len(annot["lbl_list"]) >= 1
+    for bb in annot["bbox_list"]:
+        x1, y1, x2, y2 = bb
+        assert 0 <= x1 < x2 <= img.shape[1]
+        assert 0 <= y1 < y2 <= img.shape[0]
+    assert all(l in CLASS_LIST for l in annot["lbl_list"])
+
+
+def test_parse_annotation_truncates_floats(tmp_path):
+    p = tmp_path / "a.xml"
+    p.write_text(
+        "<annotation><object><name>dog</name><bndbox>"
+        "<xmin>10.7</xmin><ymin>3.2</ymin><xmax>99.9</xmax><ymax>80.1</ymax>"
+        "</bndbox></object></annotation>"
+    )
+    annot = parse_annotation(str(p))
+    assert annot["bbox_list"] == [[10, 3, 99, 80]]  # int(float(...)) rule
+
+
+def test_pipeline_static_shapes(voc_root):
+    voc = VOC(dataset_dir=voc_root)
+    pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=(128, 128), batch_size=4, max_boxes=8,
+        mode="v2", seed=0,
+    )
+    batches = list(pipe)
+    assert len(batches) == len(pipe) == 2
+    for b in batches:
+        assert b.image.shape == (4, 128, 128, 3)
+        assert b.image.dtype == np.uint8
+        assert b.valid.shape == (4, 8)
+        assert b.box.shape == (4, 8, 4)
+        # Valid boxes land inside the image and grid.
+        vb = b.box[b.valid]
+        assert np.all(vb[:, 2] <= 128) and np.all(vb[:, 0] >= 0)
+        vc = b.cell[b.valid]
+        assert np.all((vc >= 0) & (vc < 4))
+
+
+def test_pipeline_resize_scales_boxes(voc_root):
+    voc = VOC(dataset_dir=voc_root)
+    idx, img, annot = voc.train_dataset[1]
+    h, w = img.shape[:2]
+    pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=(2 * h, 2 * w), batch_size=1,
+        max_boxes=8, shuffle=False, prefetch=0,
+    )
+    batch = next(iter(pipe._make_batch([1]) for _ in [0]))
+    got = batch.box[0][batch.valid[0]]
+    expect = np.asarray(annot["bbox_list"], np.float64) * 2.0
+    np.testing.assert_allclose(got, expect[: len(got)], rtol=1e-6)
+
+
+def test_pipeline_multiscale_retarget(voc_root):
+    voc = VOC(dataset_dir=voc_root)
+    pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=(96, 96), batch_size=2, max_boxes=8,
+    )
+    b1 = next(iter(pipe))
+    pipe.set_image_size((160, 160))
+    b2 = next(iter(pipe))
+    assert b1.image.shape[1:3] == (96, 96)
+    assert b2.image.shape[1:3] == (160, 160)

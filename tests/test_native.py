@@ -1,0 +1,72 @@
+"""Native loader tests (skipped unless libodc_loader.so is built —
+``python -m odc_tpu.native.build``)."""
+
+import numpy as np
+import pytest
+
+from odc_tpu.native import loader
+
+
+pytestmark = pytest.mark.skipif(
+    not loader.available(), reason="native loader not built"
+)
+
+
+def _np_bilinear(src, dh, dw):
+    """cv2-convention bilinear (half-pixel centers), float oracle."""
+    sh, sw = src.shape[:2]
+    ys = np.clip((np.arange(dh) + 0.5) * sh / dh - 0.5, 0, sh - 1)
+    xs = np.clip((np.arange(dw) + 0.5) * sw / dw - 0.5, 0, sw - 1)
+    y0 = np.clip(ys.astype(int), 0, sh - 2) if sh > 1 else np.zeros(dh, int)
+    x0 = np.clip(xs.astype(int), 0, sw - 2) if sw > 1 else np.zeros(dw, int)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    a = src[y0][:, x0].astype(np.float64)
+    b = src[y0][:, np.minimum(x0 + 1, sw - 1)].astype(np.float64)
+    c = src[np.minimum(y0 + 1, sh - 1)][:, x0].astype(np.float64)
+    d = src[np.minimum(y0 + 1, sh - 1)][:, np.minimum(x0 + 1, sw - 1)].astype(
+        np.float64
+    )
+    top = a + (b - a) * fx
+    bot = c + (d - c) * fx
+    return top + (bot - top) * fy
+
+
+def test_decode_matches_pil(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (37, 53, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(img).save(p, quality=92)
+    ours = loader.decode_jpeg(p)
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_resize_matches_bilinear_oracle():
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    for out_hw in [(24, 32), (96, 128), (48, 64), (31, 47)]:
+        ours = loader.resize_bilinear(src, out_hw).astype(np.float64)
+        oracle = _np_bilinear(src, *out_hw)
+        assert np.abs(ours - oracle).max() <= 1.0  # fixed-point rounding
+
+
+def test_decode_resize_fused(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+    p = str(tmp_path / "y.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    out, (sh, sw) = loader.decode_resize_jpeg(p, (30, 40))
+    assert (sh, sw) == (60, 80)
+    dec = loader.decode_jpeg(p)
+    two_step = loader.resize_bilinear(dec, (30, 40))
+    np.testing.assert_array_equal(out, two_step)
+
+
+def test_missing_file_raises():
+    with pytest.raises(IOError):
+        loader.decode_jpeg("/nonexistent/file.jpg")
