@@ -1,0 +1,97 @@
+"""Device mesh + sharding layout.
+
+The reference has no parallelism at all (SURVEY.md §2: single process,
+single device, no communication backend).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` over (data, model) axes:
+
+* **data**: batch dimension sharded across chips — gradients are reduced by
+  the XLA-inserted ``psum`` over ICI, no transport code of ours;
+* **model**: optional tensor-parallel axis — the widest conv kernels
+  (>= 512 output channels: Darknet stages 5-7, the v2 neck/head, YOLOv1's
+  4096-wide dense) shard their output-channel dimension.
+
+Everything runs under plain ``jax.jit`` with ``NamedSharding`` constraints;
+GSPMD propagates the rest.  The reference's single-device execution is the
+degenerate 1x1 mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices=None,
+    platform: Optional[str] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.  ``data=-1`` uses all remaining devices."""
+    if devices is None:
+        devices = (
+            jax.devices(platform) if platform is not None else jax.devices()
+        )
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    use = data * model
+    dev_array = np.asarray(devices[:use]).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Output-channel shard threshold: smaller kernels replicate (collective
+# cost would dominate).
+_MIN_SHARD_CHANNELS = 512
+
+
+def _param_spec(path: tuple, value) -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    is_kernel = names and names[-1] == "kernel"
+    if (
+        is_kernel
+        and value.ndim >= 2
+        and value.shape[-1] >= _MIN_SHARD_CHANNELS
+    ):
+        return P(*([None] * (value.ndim - 1) + ["model"]))
+    return P()
+
+
+def param_specs(variables):
+    """PartitionSpec pytree for a flax variables dict (params+batch_stats)."""
+    return jax.tree_util.tree_map_with_path(_param_spec, variables)
+
+
+def shard_params(variables, mesh: Mesh):
+    """Place model variables: big kernels sharded on "model", rest
+    replicated."""
+    specs = param_specs(variables)
+    return jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+        variables,
+        specs,
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with every array sharded along the data axis."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        spec = P(*(("data",) + (None,) * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)

@@ -1,0 +1,138 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.config import TrainConfig
+from odc_tpu.data.pipeline import DetectionPipeline
+from odc_tpu.data.voc import VOC, make_synthetic_voc
+from odc_tpu.models import YOLOv2
+from odc_tpu.train import Trainer, TrainState, checkpoint
+from odc_tpu.train.schedule import StagedSchedule
+from odc_tpu.train.trainer import make_train_step
+from odc_tpu.losses.yolo_loss import Lambdas
+
+HW = (64, 64)
+
+
+def test_schedule_stages_and_warmup():
+    s = StagedSchedule([1e-2, 1e-3, 1e-4], [2, 3, 1])
+    assert s.total_epochs == 6
+    assert s.stage_lr(1) == 1e-2
+    assert s.stage_lr(2) == 1e-2
+    assert s.stage_lr(3) == 1e-3
+    assert s.stage_lr(5) == 1e-3
+    assert s.stage_lr(6) == 1e-4
+    # Epoch-1 warmup: lr / 10^(1 - progress) (yolov1.py:1045-1051).
+    np.testing.assert_allclose(s.step_lr(1, 0.5), 1e-2 / 10**0.5)
+    np.testing.assert_allclose(s.step_lr(1, 1.0), 1e-2)
+    np.testing.assert_allclose(s.step_lr(2, 0.1), 1e-2)
+
+
+@pytest.fixture(scope="module")
+def voc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc_train")
+    make_synthetic_voc(str(root), num_train=4, num_val=2, image_hw=(96, 96))
+    return VOC(dataset_dir=str(root))
+
+
+@pytest.fixture(scope="module")
+def tiny_model_state(voc):
+    model = YOLOv2(image_size=HW)
+    dummy = jnp.zeros((1,) + HW + (3,), jnp.uint8)
+    variables = jax.jit(model.init)(jax.random.key(0), dummy)
+
+    def make_state():
+        # Fresh copies per test: the train step donates its input state.
+        return TrainState.create(jax.tree.map(jnp.copy, variables))
+
+    return model, make_state
+
+
+def test_overfit_one_batch(voc, tiny_model_state):
+    model, make_state = tiny_model_state
+    state = make_state()
+    pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=HW, batch_size=2, max_boxes=8,
+        shuffle=False, prefetch=0,
+    )
+    batch = jax.tree.map(jnp.asarray, next(iter(pipe)))
+
+    step_fn = make_train_step(
+        model, "v2", Lambdas(), model.anchors,
+        momentum=0.9, weight_decay=5e-4,
+    )
+    losses = []
+    rng = jax.random.key(1)
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, jnp.float32(1e-3), sub)
+        losses.append(float(metrics["loss"]))
+
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+
+
+def test_trainer_fit_artifacts(voc, tmp_path):
+    model = YOLOv2(image_size=HW)
+    cfg = TrainConfig(
+        learning_rate_list=[1e-3],
+        num_epoch_list=[1],
+        batch_size=2,
+        max_boxes=8,
+        multiscale_sizes=(),  # keep the static size for speed
+    )
+    train_pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=HW, batch_size=2, max_boxes=8, prefetch=0
+    )
+    val_pipe = DetectionPipeline(
+        voc.val_dataset, image_hw=HW, batch_size=2, max_boxes=8,
+        shuffle=False, prefetch=0,
+    )
+    trainer = Trainer(
+        model, train_pipe, val_pipe, cfg, ckpt_path=str(tmp_path)
+    )
+    state, history = trainer.fit()
+
+    assert len(history["train_loss_mean_list"]) == 1
+    assert len(history["val_loss_list"]) == 1
+    for fn in (
+        "best_model.ckpt", "final_model.ckpt",
+        "training_result.pkl", "train_config.json", "metrics.jsonl",
+    ):
+        assert os.path.exists(os.path.join(tmp_path, fn)), fn
+
+    # Restore roundtrip.
+    template = trainer.init_state()
+    restored = checkpoint.restore(
+        os.path.join(tmp_path, "final_model.ckpt"), template
+    )
+    leaf0 = jax.tree.leaves(restored.params)[0]
+    leaf0_orig = jax.tree.leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf0_orig))
+    assert int(restored.step) == int(state.step)
+
+
+def test_momentum_zero_matches_plain_sgd(tiny_model_state, voc):
+    # momentum=0.0 reproduces the reference's rebuilt-every-step optimizer
+    # (SURVEY.md note B): update must equal p - lr*(g + wd*p).
+    model, make_state = tiny_model_state
+    state = make_state()
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
+    pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=HW, batch_size=2, max_boxes=8,
+        shuffle=False, prefetch=0,
+    )
+    batch = jax.tree.map(jnp.asarray, next(iter(pipe)))
+    step_fn = make_train_step(
+        model, "v2", Lambdas(), model.anchors,
+        momentum=0.0, weight_decay=0.0,
+    )
+    rng = jax.random.key(0)
+    new_state, _ = step_fn(state, batch, jnp.float32(0.0), rng)
+    # lr = 0 -> params unchanged, momentum buffers hold raw grads.
+    p1 = np.asarray(jax.tree.leaves(new_state.params)[0])
+    np.testing.assert_array_equal(p0, p1)
