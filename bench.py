@@ -1,0 +1,79 @@
+"""Headline benchmark: YOLOv2-416 end-to-end inference (decode→NMS),
+images/sec on one chip.
+
+Matches the BASELINE.md north-star metric (target ≥ 5000 img/s/chip on TPU
+v5e).  The measured program is a single jitted call: uint8 images in →
+backbone/neck/head (bfloat16 on the MXU) → fused decode → fixed-shape
+class-agnostic NMS (reference thresholds 0.9/0.5) → padded boxes out.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 5000.0  # BASELINE.json north star
+WARMUP_ITERS = 3
+TIMED_ITERS = 20
+
+
+def run(batch_sizes=(256, 128, 64), extra=None) -> dict:
+    from odc_tpu.models import YOLOv2
+    from odc_tpu.ops.detect import make_infer_fn
+
+    model = YOLOv2(dtype=jnp.bfloat16)
+    infer = jax.jit(
+        make_infer_fn(model, conf_thre=0.9, iou_thre=0.5, max_keep=64)
+    )
+
+    rng = np.random.default_rng(0)
+    init_img = jnp.zeros((1, 416, 416, 3), jnp.uint8)
+    variables = jax.jit(model.init)(jax.random.key(0), init_img)
+
+    best = 0.0
+    best_bs = None
+    for bs in batch_sizes:
+        try:
+            images = jnp.asarray(
+                rng.integers(0, 255, (bs, 416, 416, 3), dtype=np.uint8)
+            )
+            for _ in range(WARMUP_ITERS):
+                out = infer(variables, images)
+            np.asarray(out[3])  # full fetch: block_until_ready can return
+            # early through the experimental TPU relay, so sync via D2H.
+
+            t0 = time.perf_counter()
+            for _ in range(TIMED_ITERS):
+                out = infer(variables, images)
+            np.asarray(out[3])
+            dt = time.perf_counter() - t0
+
+            ips = bs * TIMED_ITERS / dt
+            if extra is not None:
+                extra[bs] = ips
+            if ips > best:
+                best, best_bs = ips, bs
+        except Exception as e:  # OOM at large batch: fall through
+            print(f"# bs={bs} failed: {type(e).__name__}", file=sys.stderr)
+
+    return {
+        "metric": "YOLOv2-416 e2e inference (decode+NMS) throughput",
+        "value": round(best, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / BASELINE_IMAGES_PER_SEC, 3),
+        "batch_size": best_bs,
+        "device": str(jax.devices()[0]),
+    }
+
+
+if __name__ == "__main__":
+    result = run()
+    print(json.dumps(result))

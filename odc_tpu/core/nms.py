@@ -72,6 +72,7 @@ def nms_padded(
     conf_thre=0.9,
     iou_thre=0.5,
     max_keep: int = 128,
+    suppress_boxes=None,
 ):
     """Greedy NMS with static output shapes.
 
@@ -82,6 +83,9 @@ def nms_padded(
         cls_scores: [..., C] class-specific confidence scores.
         conf_thre, iou_thre: thresholds (reference defaults 0.9 / 0.5).
         max_keep: static candidate budget.
+        suppress_boxes: optional [..., 4] boxes used for the IoU overlap test
+            instead of ``boxes`` (class-wise NMS passes the class-offset
+            coordinates here while outputs keep the originals).
 
     Returns:
         (boxes [max_keep, 4], conf [max_keep], cls_scores [max_keep, C],
@@ -92,9 +96,12 @@ def nms_padded(
     boxes = boxes.reshape(-1, 4)
     conf = conf.reshape(-1)
     cls_scores = cls_scores.reshape(-1, num_cls)
+    sup = (
+        boxes if suppress_boxes is None else suppress_boxes.reshape(-1, 4)
+    )
 
     valid = conf >= conf_thre
-    order, keep = _suppress(boxes, conf, valid, iou_thre, max_keep)
+    order, keep = _suppress(sup, conf, valid, iou_thre, max_keep)
 
     out_boxes = jnp.take(boxes, order, axis=0)
     out_conf = jnp.take(conf, order)

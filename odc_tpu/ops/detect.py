@@ -1,0 +1,62 @@
+"""End-to-end batched inference: images -> boxes, entirely on device.
+
+This is the path the headline benchmark measures (BASELINE.md: YOLOv2-416
+e2e decode→NMS images/sec/chip): one jitted program running
+backbone/neck/head on the MXU, the fused decode, and per-image fixed-shape
+NMS — no host round-trip between pixels and final boxes (the reference
+crosses the device boundary twice per image, ``models/yolov2.py:667,
+720-724``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.core.nms import nms_padded, class_offset_boxes
+
+
+def make_infer_fn(
+    model,
+    conf_thre: float = 0.9,
+    iou_thre: float = 0.5,
+    max_keep: int = 64,
+    class_wise: bool = False,
+) -> Callable:
+    """Build ``infer(variables, images) -> (boxes, conf, cls_scores, keep)``
+    with leading batch dim and static ``max_keep`` shapes.  Jittable; NMS
+    thresholds default to the reference's detect() values
+    (``models/yolov1.py:439-443``); ``class_wise`` upgrades the reference's
+    class-agnostic suppression (SURVEY.md note E)."""
+
+    def infer(variables, images):
+        y = model.apply(variables, images, train=False)
+        det = model.decode(y, images.shape[1:3])
+        b = images.shape[0]
+        num_cls = det.cls_spec.shape[-1]
+        boxes = det.boxes.reshape(b, -1, 4)
+        conf = det.conf.reshape(b, -1)
+        cls_scores = det.cls_spec.reshape(b, -1, num_cls)
+
+        if class_wise:
+            sup_boxes = class_offset_boxes(boxes, jnp.argmax(cls_scores, -1))
+        else:
+            sup_boxes = None
+
+        def one(bb, cc, ss, sb):
+            return nms_padded(
+                bb, cc, ss, conf_thre, iou_thre, max_keep, suppress_boxes=sb
+            )
+
+        if sup_boxes is None:
+            one_fn = lambda bb, cc, ss: one(bb, cc, ss, None)
+            return jax.vmap(one_fn)(boxes, conf, cls_scores)
+        return jax.vmap(one)(boxes, conf, cls_scores, sup_boxes)
+
+    return infer
+
+
+def jit_infer_fn(model, **kwargs) -> Callable:
+    return jax.jit(make_infer_fn(model, **kwargs))

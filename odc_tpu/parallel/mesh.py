@@ -86,6 +86,13 @@ def shard_params(variables, mesh: Mesh):
     )
 
 
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState (any pytree): kernels wide enough shard on
+    "model", everything else replicates.  Works because momentum buffers
+    mirror the params tree and batch_stats/step leaves aren't kernels."""
+    return shard_params(state, mesh)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch with every array sharded along the data axis."""
     sh = batch_sharding(mesh)
