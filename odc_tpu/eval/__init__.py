@@ -1,0 +1,4 @@
+from odc_tpu.eval.evaluator import Detector, evaluate_model, evaluate_batched
+from odc_tpu.core.ap import APAccumulator
+
+__all__ = ["Detector", "evaluate_model", "evaluate_batched", "APAccumulator"]

@@ -1,0 +1,192 @@
+"""Inference + VOC mAP evaluation.
+
+``Detector.detect`` mirrors the reference single-image contract
+(``models/yolov1.py:439-554`` / ``models/yolov2.py:651-745``): v1 resizes
+to the model input size, clips boxes to the frame, and inverse-resizes them
+back to the original image; v2 runs at native size.  Returns the same
+``annot_pred`` dict (bbox/lbl/conf/cls-spec-conf lists).
+
+``evaluate_model`` is the reference's per-image evaluation loop
+(``models/utils.py:171-338``).  ``evaluate_batched`` is the TPU-native
+streaming path (BASELINE.md config 5): fixed-size batches through one jitted
+infer program, boxes rescaled per image, same AP math — orders of magnitude
+faster than per-image detect.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odc_tpu.core.ap import APAccumulator, DEFAULT_LEVELS
+from odc_tpu.data.voc import CLASS_LIST
+from odc_tpu.ops.detect import make_infer_fn
+
+
+def _resize_host(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    from odc_tpu.native import loader as native_loader
+
+    if img.shape[:2] == tuple(out_hw):
+        return img
+    if native_loader.available():
+        return native_loader.resize_bilinear(img, out_hw)
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((out_hw[1], out_hw[0]), Image.BILINEAR)
+    )
+
+
+class Detector:
+    """Model + params bound into jitted inference programs (cached per
+    image shape)."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        cls_list: Sequence[str] = tuple(CLASS_LIST),
+        conf_thre: float = 0.9,
+        iou_thre: float = 0.5,
+        max_keep: int = 64,
+        class_wise: bool = False,
+    ) -> None:
+        self.model = model
+        self.variables = variables
+        self.cls_list = list(cls_list)
+        self.conf_thre = conf_thre
+        self.iou_thre = iou_thre
+        self.max_keep = max_keep
+        self.mode = "v1" if type(model).__name__ == "YOLOv1" else "v2"
+        self._infer = jax.jit(
+            make_infer_fn(
+                model, conf_thre, iou_thre, max_keep, class_wise=class_wise
+            )
+        )
+
+    # -- batched path -------------------------------------------------------
+
+    def infer_batch(self, images: np.ndarray):
+        """[B, H, W, 3] uint8 -> (boxes [B,K,4], conf [B,K], cls_scores
+        [B,K,C], keep [B,K]) numpy."""
+        out = self._infer(self.variables, jnp.asarray(images))
+        return tuple(np.asarray(o) for o in out)
+
+    # -- reference-contract single-image path --------------------------------
+
+    def detect(self, img: np.ndarray, conf_score_thre: Optional[float] = None,
+               iou_thre: Optional[float] = None) -> Dict[str, list]:
+        if conf_score_thre is not None and conf_score_thre != self.conf_thre:
+            raise ValueError(
+                "thresholds are baked into the compiled program; construct "
+                "a Detector with the desired conf/iou thresholds"
+            )
+        orig_h, orig_w = img.shape[:2]
+
+        if self.mode == "v1":
+            net_hw = self.model.image_size
+            x = _resize_host(img, net_hw)
+        else:
+            # v2 runs at native size (yolov2.py:666-667); dims are floored
+            # to the stride-32 grid by the pooling chain.
+            net_hw = (max(32, (orig_h // 32) * 32), max(32, (orig_w // 32) * 32))
+            x = _resize_host(img, net_hw)
+
+        boxes, conf, cls_scores, keep = self.infer_batch(x[None])
+        boxes, conf, cls_scores = boxes[0][keep[0]], conf[0][keep[0]], cls_scores[0][keep[0]]
+
+        if self.mode == "v1":
+            # Clip to the network frame (yolov1.py:518-523) then
+            # inverse-resize to the original image (yolov1.py:536-543).
+            h, w = net_hw
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0.0, w - 1.0)
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0.0, h - 1.0)
+            boxes = boxes * np.array(
+                [orig_w / w, orig_h / h, orig_w / w, orig_h / h]
+            )
+        else:
+            h, w = net_hw
+            boxes = boxes * np.array(
+                [orig_w / w, orig_h / h, orig_w / w, orig_h / h]
+            )
+
+        lbl_idx = cls_scores.argmax(-1) if len(cls_scores) else np.zeros(0, int)
+        return {
+            "bbox_list": boxes.tolist(),
+            "lbl_list": [self.cls_list[i] for i in lbl_idx],
+            "conf_score_list": conf.tolist(),
+            "cls_spec_conf_score_list": (
+                cls_scores.max(-1).tolist() if len(cls_scores) else []
+            ),
+        }
+
+
+def evaluate_model(
+    detector: Detector,
+    dataset,
+    levels: Sequence[float] = DEFAULT_LEVELS,
+    dedup: bool = False,
+    progress: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Reference-style per-image evaluation loop (utils.py:171-338)."""
+    acc = APAccumulator(detector.cls_list, levels, dedup=dedup)
+    n = len(dataset)
+    for i in range(n):
+        _, img, annot = dataset[i]
+        if progress:
+            print(f"Evaluation: [{i + 1} / {n}]", end="\r")
+        pred = detector.detect(img)
+        acc.add_image(
+            np.asarray(pred["bbox_list"], np.float64).reshape(-1, 4),
+            pred["lbl_list"],
+            np.asarray(pred["cls_spec_conf_score_list"], np.float64),
+            np.asarray(annot["bbox_list"], np.float64).reshape(-1, 4),
+            annot["lbl_list"],
+        )
+    return acc.result()
+
+
+def evaluate_batched(
+    detector: Detector,
+    dataset,
+    image_hw: Tuple[int, int] = (416, 416),
+    batch_size: int = 64,
+    levels: Sequence[float] = DEFAULT_LEVELS,
+    dedup: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Streaming batched mAP: fixed-size batches through one compiled
+    program; predictions rescaled to original image coordinates."""
+    acc = APAccumulator(detector.cls_list, levels, dedup=dedup)
+    n = len(dataset)
+    h, w = image_hw
+
+    for start in range(0, n, batch_size):
+        idxs = range(start, min(start + batch_size, n))
+        imgs = np.zeros((batch_size, h, w, 3), np.uint8)
+        metas = []
+        for j, i in enumerate(idxs):
+            _, img, annot = dataset[i]
+            imgs[j] = _resize_host(img, image_hw)
+            metas.append((img.shape[:2], annot))
+
+        boxes_b, conf_b, cls_b, keep_b = detector.infer_batch(imgs)
+        for j, ((oh, ow), annot) in enumerate(metas):
+            keep = keep_b[j]
+            boxes = boxes_b[j][keep] * np.array(
+                [ow / w, oh / h, ow / w, oh / h]
+            )
+            cls_scores = cls_b[j][keep]
+            lbl_idx = (
+                cls_scores.argmax(-1) if len(cls_scores) else np.zeros(0, int)
+            )
+            acc.add_image(
+                boxes,
+                [detector.cls_list[k] for k in lbl_idx],
+                cls_scores.max(-1) if len(cls_scores) else np.zeros(0),
+                np.asarray(annot["bbox_list"], np.float64).reshape(-1, 4),
+                annot["lbl_list"],
+            )
+    return acc.result()
