@@ -77,18 +77,39 @@ def make_train_step(
     anchors=None,
     momentum: float = 0.0,
     weight_decay: float = 5e-4,
+    augment_cfg=None,
 ) -> Callable:
-    """Build the jitted train step: (state, batch, lr, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, lr, rng) -> (state, metrics).
+
+    With ``augment_cfg`` set, the fused on-device augmentation
+    (``odc_tpu.ops.augment``) runs inside the step and targets are
+    re-assigned on device from the augmented boxes — the full
+    pixels-to-gradients path is one XLA program.
+    """
 
     def loss_fn(params, batch_stats, batch, rng):
+        image = batch.image
+        targets = _targets_of(batch)
+        if augment_cfg is not None:
+            from odc_tpu.ops.assign import assign
+            from odc_tpu.ops.augment import augment_batch
+
+            rng, aug_key = jax.random.split(rng)
+            image, boxes, valid = augment_batch(
+                aug_key, image, batch.box, batch.valid, augment_cfg
+            )
+            targets = assign(
+                boxes, batch.cls, valid, image.shape[1:3], mode=mode
+            )
+
         variables = {"params": params, "batch_stats": batch_stats}
         y, mut = model.apply(
-            variables, batch.image, train=True,
+            variables, image, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
-        det = model.decode(y, batch.image.shape[1:3])
+        det = model.decode(y, image.shape[1:3])
         total, parts = yolo_loss(
-            det, _targets_of(batch), lambdas, mode=mode, anchors=anchors
+            det, targets, lambdas, mode=mode, anchors=anchors
         )
         return total, (parts, mut["batch_stats"])
 
@@ -153,6 +174,7 @@ class Trainer:
         ckpt_path: str,
         mode: Optional[str] = None,
         rng_seed: Optional[int] = None,
+        augment_cfg=None,
     ) -> None:
         self.model = model
         self.train_pipeline = train_pipeline
@@ -178,6 +200,7 @@ class Trainer:
         self.train_step = make_train_step(
             model, self.mode, self.lambdas, self.anchors,
             momentum=config.momentum, weight_decay=config.weight_decay,
+            augment_cfg=augment_cfg,
         )
         self.eval_step = make_eval_step(
             model, self.mode, self.lambdas, self.anchors

@@ -1,0 +1,162 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.ops.augment import (
+    AugmentConfig,
+    augment_batch,
+    _rgb_to_hsv,
+    _hsv_to_rgb,
+)
+
+HW = (64, 96)
+
+
+def _batch(rng, b=2, m=4):
+    images = rng.integers(0, 255, (b,) + HW + (3,), dtype=np.uint8)
+    boxes = np.zeros((b, m, 4), np.float32)
+    valid = np.zeros((b, m), bool)
+    boxes[:, 0] = [10, 10, 40, 30]
+    boxes[:, 1] = [50, 20, 90, 60]
+    valid[:, :2] = True
+    return jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid)
+
+
+def _identity_cfg(**on):
+    base = dict(
+        p_scale=0.0, p_translate=0.0, p_rotate=0.0, p_flip=0.0,
+        p_channel_shuffle=0.0, p_hsv=0.0,
+    )
+    base.update(on)
+    return AugmentConfig(**base)
+
+
+def test_identity_passthrough():
+    rng = np.random.default_rng(0)
+    img, boxes, valid = _batch(rng)
+    out_img, out_boxes, out_valid = augment_batch(
+        jax.random.key(0), img, boxes, valid, _identity_cfg()
+    )
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(img))
+    np.testing.assert_allclose(
+        np.asarray(out_boxes)[np.asarray(valid)],
+        np.asarray(boxes)[np.asarray(valid)],
+        atol=1e-3,
+    )
+    np.testing.assert_array_equal(np.asarray(out_valid), np.asarray(valid))
+
+
+def test_flip_boxes():
+    rng = np.random.default_rng(1)
+    img, boxes, valid = _batch(rng, b=1)
+    h, w = HW
+    # Force a flip every time; hunt a key that picks HFlip.
+    cfg = _identity_cfg(p_flip=1.0)
+    for seed in range(20):
+        out_img, out_boxes, _ = augment_batch(
+            jax.random.key(seed), img, boxes, valid, cfg
+        )
+        ob = np.asarray(out_boxes[0, 0])
+        b0 = np.asarray(boxes[0, 0])
+        flipped_h = np.allclose(
+            ob, [w - 1 - b0[2], b0[1], w - 1 - b0[0], b0[3]], atol=1e-2
+        )
+        flipped_v = np.allclose(
+            ob, [b0[0], h - 1 - b0[3], b0[2], h - 1 - b0[1]], atol=1e-2
+        )
+        assert flipped_h or flipped_v, (seed, ob)
+        if flipped_h:
+            # Image pixels mirrored too.
+            np.testing.assert_array_equal(
+                np.asarray(out_img[0, :, 0]), np.asarray(img[0, :, -1])
+            )
+            return
+    pytest.fail("never sampled HFlip in 20 keys")
+
+
+def test_translate_boxes():
+    rng = np.random.default_rng(2)
+    img, boxes, valid = _batch(rng, b=1)
+    cfg = _identity_cfg(p_translate=1.0, translate_limit=(0.1, 0.1))
+    _, out_boxes, out_valid = augment_batch(
+        jax.random.key(0), img, boxes, valid, cfg
+    )
+    h, w = HW
+    b0 = np.asarray(boxes[0, 0])
+    expect = b0 + np.array([0.1 * w, 0.1 * h, 0.1 * w, 0.1 * h])
+    np.testing.assert_allclose(np.asarray(out_boxes[0, 0]), expect, atol=1e-2)
+    assert bool(out_valid[0, 0])
+
+
+def test_rotation_enclosing_box_and_validity():
+    rng = np.random.default_rng(3)
+    img, boxes, valid = _batch(rng, b=1)
+    cfg = _identity_cfg(p_rotate=1.0, rotate_limit=(90.0, 90.0))
+    _, out_boxes, out_valid = augment_batch(
+        jax.random.key(0), img, boxes, valid, cfg
+    )
+    # 90° rotation about the center maps a wxh box to hxw (before clip).
+    b0 = np.asarray(boxes[0, 0])
+    ob = np.asarray(out_boxes[0, 0])
+    if bool(out_valid[0, 0]):
+        np.testing.assert_allclose(
+            ob[2] - ob[0], min(b0[3] - b0[1], ob[2] - ob[0]), atol=1e-2
+        )
+    # All surviving boxes stay inside the canvas.
+    h, w = HW
+    vb = np.asarray(out_boxes)[np.asarray(out_valid)]
+    assert np.all(vb[:, 0] >= 0) and np.all(vb[:, 2] <= w)
+    assert np.all(vb[:, 1] >= 0) and np.all(vb[:, 3] <= h)
+
+
+def test_deterministic_per_key():
+    rng = np.random.default_rng(4)
+    img, boxes, valid = _batch(rng)
+    cfg = AugmentConfig()
+    a = augment_batch(jax.random.key(7), img, boxes, valid, cfg)
+    b = augment_batch(jax.random.key(7), img, boxes, valid, cfg)
+    c = augment_batch(jax.random.key(8), img, boxes, valid, cfg)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(a, c)
+    )
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(5)
+    rgb = jnp.asarray(rng.uniform(0, 255, (16, 16, 3)).astype(np.float32))
+    h, s, v = _rgb_to_hsv(rgb)
+    back = _hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=0.5)
+
+
+def test_channel_shuffle_permutes():
+    rng = np.random.default_rng(6)
+    img = np.zeros((1,) + HW + (3,), np.uint8)
+    img[..., 0] = 10
+    img[..., 1] = 100
+    img[..., 2] = 200
+    boxes = jnp.zeros((1, 1, 4))
+    valid = jnp.ones((1, 1), bool)
+    cfg = _identity_cfg(p_channel_shuffle=1.0)
+    for seed in range(10):
+        out, _, _ = augment_batch(
+            jax.random.key(seed), jnp.asarray(img), boxes, valid, cfg
+        )
+        vals = sorted(np.asarray(out[0, 0, 0]).tolist())
+        assert vals == [10, 100, 200]
+        if not np.array_equal(np.asarray(out[0, 0, 0]), [10, 100, 200]):
+            return
+    pytest.fail("never sampled a non-identity permutation")
+
+
+def test_jit_compatible():
+    rng = np.random.default_rng(7)
+    img, boxes, valid = _batch(rng)
+    f = jax.jit(lambda k, i, b, v: augment_batch(k, i, b, v, AugmentConfig()))
+    out = f(jax.random.key(0), img, boxes, valid)
+    assert out[0].shape == img.shape

@@ -136,3 +136,24 @@ def test_momentum_zero_matches_plain_sgd(tiny_model_state, voc):
     # lr = 0 -> params unchanged, momentum buffers hold raw grads.
     p1 = np.asarray(jax.tree.leaves(new_state.params)[0])
     np.testing.assert_array_equal(p0, p1)
+
+
+def test_train_step_with_device_augment(voc, tiny_model_state):
+    from odc_tpu.ops.augment import AugmentConfig
+
+    model, make_state = tiny_model_state
+    state = make_state()
+    pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=HW, batch_size=2, max_boxes=8,
+        shuffle=False, prefetch=0,
+    )
+    batch = jax.tree.map(jnp.asarray, next(iter(pipe)))
+    step_fn = make_train_step(
+        model, "v2", Lambdas(), model.anchors,
+        momentum=0.9, weight_decay=5e-4, augment_cfg=AugmentConfig(),
+    )
+    rng = jax.random.key(3)
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, jnp.float32(1e-3), sub)
+    assert np.isfinite(float(metrics["loss"]))
