@@ -1,0 +1,150 @@
+"""Training entry point.
+
+Mirrors the reference driver (``train.py:21-83``): builds
+``ckpts/<model>/<timestamp>``, constructs the VOC dataset, snapshots
+``train_config.json``, instantiates the model and loaders, and runs the
+staged training schedule — but model selection is a CLI flag instead of an
+edit-the-source string (reference ``train.py:22``), execution is laid out
+over a (data, model) device mesh, and augmentation runs fused on device.
+
+    python train.py --model YOLOv2 --dataset-dir datasets
+    python train.py --model YOLOv1 --synthetic --epochs 1   # smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="YOLOv1", choices=["YOLOv1", "YOLOv2"])
+    p.add_argument("--dataset-dir", default="datasets")
+    p.add_argument("--ckpt-root", default="ckpts")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override: single stage of N epochs")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--momentum", type=float, default=None)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--data-parallel", type=int, default=-1,
+                   help="devices on the data mesh axis (-1: all)")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate and train on a tiny synthetic VOC")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path to resume from")
+    p.add_argument("--eval-map", action="store_true",
+                   help="run batched VOC mAP after training")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from odc_tpu.config import BATCH_SIZE, MODEL_CONFIG, TRAIN_CONFIG
+    from odc_tpu.data.pipeline import DetectionPipeline
+    from odc_tpu.data.voc import VOC, make_synthetic_voc
+    from odc_tpu.models import get_model
+    from odc_tpu.ops.augment import AugmentConfig
+    from odc_tpu.parallel.mesh import make_mesh
+    from odc_tpu.train import Trainer, checkpoint
+
+    ckpt_path = os.path.join(
+        args.ckpt_root,
+        args.model,
+        datetime.datetime.now().strftime("%Y-%m-%d %H-%M-%S"),
+    )
+    os.makedirs(ckpt_path, exist_ok=True)
+
+    if args.synthetic:
+        make_synthetic_voc(args.dataset_dir, num_train=16, num_val=8)
+    dataset = VOC(dataset_dir=args.dataset_dir)
+
+    model_cfg = MODEL_CONFIG[args.model]
+    train_cfg = TRAIN_CONFIG[args.model]["VOC2012"]
+    train_cfg.batch_size = args.batch_size or BATCH_SIZE
+    if args.epochs is not None:
+        train_cfg.num_epoch_list = [args.epochs]
+        train_cfg.learning_rate_list = [
+            args.lr or train_cfg.learning_rate_list[0]
+        ]
+    if args.momentum is not None:
+        train_cfg.momentum = args.momentum
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.model == "YOLOv1":
+        model = get_model(
+            "YOLOv1",
+            num_grid_cell_in_height=model_cfg.num_grid_cell_in_height,
+            num_grid_cell_in_width=model_cfg.num_grid_cell_in_width,
+            num_anchor_box=model_cfg.num_anchor_box,
+            image_size=model_cfg.image_size,
+            dtype=dtype,
+        )
+    else:
+        model = get_model("YOLOv2", image_size=model_cfg.image_size, dtype=dtype)
+
+    mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
+    print(f"mesh: {dict(mesh.shape)}  devices: {len(jax.devices())}")
+
+    train_pipe = DetectionPipeline(
+        dataset.train_dataset,
+        image_hw=model_cfg.image_size,
+        batch_size=train_cfg.batch_size,
+        max_boxes=train_cfg.max_boxes,
+        mode="v1" if args.model == "YOLOv1" else "v2",
+        seed=train_cfg.seed,
+    )
+    val_pipe = DetectionPipeline(
+        dataset.val_dataset,
+        image_hw=model_cfg.image_size,
+        batch_size=train_cfg.batch_size,
+        max_boxes=train_cfg.max_boxes,
+        mode="v1" if args.model == "YOLOv1" else "v2",
+        shuffle=False,
+    )
+
+    augment_cfg = None if args.no_augment else AugmentConfig()
+    trainer = Trainer(
+        model, train_pipe, val_pipe, train_cfg,
+        ckpt_path=ckpt_path, augment_cfg=augment_cfg,
+    )
+
+    state = None
+    if args.resume:
+        state = checkpoint.restore(args.resume, trainer.init_state())
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    with mesh:
+        state, history = trainer.fit(state)
+
+    print(f"done; checkpoints in {ckpt_path}")
+
+    if args.eval_map:
+        from odc_tpu.eval import Detector, evaluate_batched
+
+        det = Detector(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cls_list=dataset.cls_list,
+        )
+        result = evaluate_batched(
+            det, dataset.val_dataset, image_hw=model_cfg.image_size,
+            batch_size=train_cfg.batch_size,
+        )
+        import numpy as np
+
+        aps = np.stack([result[c] for c in dataset.cls_list])
+        print(f"mAP[.5:.95]: {aps.mean():.4f}  mAP@.5: {aps[:, 0].mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()
