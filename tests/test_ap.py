@@ -131,3 +131,22 @@ def test_iou_np_matches_core():
         iou_np(a, b), np.asarray(iou(jnp.asarray(a), jnp.asarray(b))),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_legacy_grid_aps_matches_reference(reference_utils):
+    from odc_tpu.core.ap import legacy_grid_aps
+
+    rng = np.random.default_rng(11)
+    n, s, b, c = 12, 3, 2, 4
+    iou = rng.uniform(0, 1, (n, s, s, b))
+    cls_tgt = np.eye(c)[rng.integers(0, c, n)]
+    cls_score = rng.uniform(0, 1, (n, s, s, b, c))
+    img_id = rng.integers(0, 5, n)
+
+    ours = legacy_grid_aps(iou, cls_tgt, cls_score, img_id)
+    ref = reference_utils.get_aps(iou, cls_tgt, cls_score, img_id)
+
+    levels = [.5, .55, .6, .65, .7, .75, .8, .85, .9, .95]
+    for lev in levels:
+        np.testing.assert_allclose(ours[lev], ref[lev], rtol=1e-12)
+    np.testing.assert_allclose(ours["mAP"], ref["mAP"], rtol=1e-12)
