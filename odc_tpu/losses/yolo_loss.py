@@ -167,3 +167,63 @@ def yolo_loss(
         + lambdas.lambda_cls * loss_cls
     )
     return total, parts
+
+
+def yolo_loss_paper(
+    det: Detections,
+    targets: YoloTargets,
+    lambda_coord: float = 5.0,
+    lambda_noobj: float = 0.5,
+) -> Tuple[jax.Array, LossParts]:
+    """Paper-style per-box-sum loss — capability parity with the
+    reference's legacy draft (``models/yolov1 temp.py:216-262``, dead
+    code): per-box grid sums instead of masked means, confidence target 1
+    (not IoU), noobj target 0, class term masked by the obj cell,
+    ``lambda_coord`` on xy+wh, final mean over boxes."""
+    b, hg, wg, a = det.conf.shape
+    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    cy = targets.cell[..., 0]
+    cx = targets.cell[..., 1]
+
+    sig_txty_p = det.sig_txty[batch_idx, cy, cx]   # [B, M, A, 2]
+    twth_p = det.twth[batch_idx, cy, cx]
+    boxes_p = det.boxes[batch_idx, cy, cx]
+    conf_p = det.conf[batch_idx, cy, cx]           # [B, M, A]
+    cls_p = det.cls_prob[batch_idx, cy, cx]        # [B, M, C] (v1 head)
+
+    iou_cell = jax.lax.stop_gradient(
+        iou(boxes_p, targets.box[:, :, None, :])
+    )
+    resp = jnp.argmax(iou_cell, axis=-1)
+
+    def take(x):
+        idx = resp[..., None, None] if x.ndim == 4 else resp[..., None]
+        return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=2).squeeze(2)
+
+    valid = targets.valid.astype(jnp.float32)
+    num_boxes = jnp.maximum(jnp.sum(valid), 1.0)
+
+    xy_b = jnp.sum((targets.sig_txty - take(sig_txty_p)) ** 2, -1)
+    wh_b = jnp.sum(
+        (jnp.sqrt(targets.twth) - jnp.sqrt(take(twth_p))) ** 2, -1
+    )
+    conf_r = take(conf_p[..., None]).squeeze(-1)
+    conf_b = (1.0 - conf_r) ** 2
+    conf_sq = jnp.sum(det.conf**2, axis=(1, 2, 3))  # [B]
+    noobj_b = conf_sq[:, None] - conf_r**2
+    num_cls = det.cls_prob.shape[-1]
+    onehot = jax.nn.one_hot(targets.cls, num_cls, dtype=jnp.float32)
+    cls_b = jnp.sum((onehot - cls_p) ** 2, -1)
+
+    per_box = (
+        lambda_coord * (xy_b + wh_b) + conf_b + lambda_noobj * noobj_b + cls_b
+    )
+    total = jnp.sum(per_box * valid) / num_boxes
+    parts = LossParts(
+        jnp.sum(xy_b * valid) / num_boxes,
+        jnp.sum(wh_b * valid) / num_boxes,
+        jnp.sum(conf_b * valid) / num_boxes,
+        jnp.sum(noobj_b * valid) / num_boxes,
+        jnp.sum(cls_b * valid) / num_boxes,
+    )
+    return total, parts

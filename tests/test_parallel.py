@@ -1,0 +1,117 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4
+— the standard JAX substitute for distributed test rigs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.data.pipeline import Batch
+from odc_tpu.losses.yolo_loss import Lambdas
+from odc_tpu.models import YOLOv2
+from odc_tpu.parallel.mesh import (
+    make_mesh,
+    param_specs,
+    shard_batch,
+    shard_state,
+)
+from odc_tpu.train.trainer import TrainState, make_train_step
+
+HW = (64, 64)
+
+
+def _mini_batch(b, m=4):
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((b, m, 4), np.float32)
+    boxes[:, 0] = [4, 4, 40, 40]
+    boxes[:, 1] = [20, 30, 60, 62]
+    valid = np.zeros((b, m), bool)
+    valid[:, :2] = True
+    from odc_tpu.ops.assign import assign
+
+    tgt = assign(
+        jnp.asarray(boxes), jnp.zeros((b, m), jnp.int32),
+        jnp.asarray(valid), HW, mode="v2",
+    )
+    return Batch(
+        image=rng.integers(0, 255, (b,) + HW + (3,), dtype=np.uint8),
+        cell=np.asarray(tgt.cell),
+        sig_txty=np.asarray(tgt.sig_txty),
+        twth=np.asarray(tgt.twth),
+        box=boxes,
+        cls=np.zeros((b, m), np.int32),
+        valid=valid,
+        img_id=np.arange(b, dtype=np.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = YOLOv2(image_size=HW)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1,) + HW + (3,), jnp.uint8)
+    )
+    return model, variables
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=4, model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = make_mesh(data=-1, model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_param_specs_shard_wide_kernels(model_and_vars):
+    _, variables = model_and_vars
+    specs = param_specs(variables)
+    leaves = jax.tree_util.tree_leaves_with_path(specs)
+    sharded = [
+        p for p, s in leaves if s and s[-1] == "model"
+    ]
+    assert len(sharded) > 0  # wide conv kernels picked up
+    # batch_stats never sharded
+    for path, s in leaves:
+        names = [getattr(x, "key", "") for x in path]
+        if "batch_stats" in names:
+            assert all(axis is None for axis in s)
+
+
+def test_dp_matches_single_device(model_and_vars):
+    model, variables = model_and_vars
+    step_fn = make_train_step(
+        model, "v2", Lambdas(), model.anchors,
+        momentum=0.9, weight_decay=5e-4,
+    )
+    batch = _mini_batch(8)
+    rng = jax.random.key(0)
+
+    # Single device.
+    s1 = TrainState.create(jax.tree.map(jnp.copy, variables))
+    s1, m1 = step_fn(s1, jax.tree.map(jnp.asarray, batch), jnp.float32(1e-3), rng)
+
+    # (4, 2) mesh: data-parallel batch + model-sharded wide kernels.
+    mesh = make_mesh(data=4, model=2)
+    s2 = shard_state(
+        TrainState.create(jax.tree.map(jnp.copy, variables)), mesh
+    )
+    sharded_batch = shard_batch(batch, mesh)
+    with mesh:
+        s2, m2 = step_fn(s2, sharded_batch, jnp.float32(1e-3), rng)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
+    # Updated params agree across the mesh layouts.
+    p1 = jax.tree.leaves(s1.params)[0]
+    p2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(p2), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
