@@ -32,8 +32,24 @@ _STAGES = (
 )
 
 
+class _Stage(nn.Module):
+    """One Darknet stage (consecutive ConvBnLeaky blocks)."""
+
+    convs: Tuple[Tuple[int, int], ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, train: bool = False):
+        for features, k in self.convs:
+            h = ConvBnLeaky(features, (k, k), dtype=self.dtype)(h, train)
+        return h
+
+
 class Darknet19Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize stage activations in the backward pass (jax.checkpoint):
+    # trades FLOPs for HBM, enabling larger train batches / resolutions.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -42,12 +58,17 @@ class Darknet19Backbone(nn.Module):
         """[N, H, W, 3] RGB (0-255) -> (c5 [N,H/16,W/16,512], c7 [N,H/32,W/32,1024])."""
         h = imagenet_normalize(x, self.dtype)
 
+        stage_cls = (
+            nn.remat(_Stage, static_argnums=(2,)) if self.remat else _Stage
+        )
         c5 = None
         for stage_idx, stage in enumerate(_STAGES):
             if 1 <= stage_idx <= 5:  # pool before stages 2..6 (reference net2-net6)
                 h = max_pool_2x2(h)
-            for features, k in stage:
-                h = ConvBnLeaky(features, (k, k), dtype=self.dtype)(h, train)
+            # Explicit names keep the param tree identical with/without remat.
+            h = stage_cls(
+                stage, dtype=self.dtype, name=f"stage{stage_idx + 1}"
+            )(h, train)
             if stage_idx == 4:  # after net5: [N, H/16, W/16, 512]
                 c5 = h
 

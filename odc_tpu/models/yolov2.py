@@ -50,6 +50,7 @@ class YOLOv2(nn.Module):
     anchors: Tuple[Tuple[float, float], ...] = YOLOV2_ANCHORS
     neck: str = "quadrant"  # "quadrant" (reference parity) | "space_to_depth"
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # jax.checkpoint the backbone stages (memory vs FLOPs)
 
     image_size: Tuple[int, int] = (416, 416)
 
@@ -63,7 +64,9 @@ class YOLOv2(nn.Module):
         a = self.num_anchor_box
         out_dim = a * (5 + self.num_cls)
 
-        c5, c7 = Darknet19Backbone(dtype=self.dtype)(x, train)
+        c5, c7 = Darknet19Backbone(dtype=self.dtype, remat=self.remat)(
+            x, train
+        )
 
         reorg = quadrant_stack if self.neck == "quadrant" else space_to_depth
         h = jnp.concatenate([reorg(c5), c7], axis=-1)  # [N, Hg, Wg, 3072]

@@ -93,3 +93,33 @@ def test_pipeline_multiscale_retarget(voc_root):
     b2 = next(iter(pipe))
     assert b1.image.shape[1:3] == (96, 96)
     assert b2.image.shape[1:3] == (160, 160)
+
+
+def test_host_augment_pipeline(voc_root):
+    from odc_tpu.data.host_augment import reference_augment
+
+    voc = VOC(dataset_dir=voc_root)
+    pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=(96, 96), batch_size=4, max_boxes=8,
+        augment=reference_augment, seed=5, prefetch=0,
+    )
+    b = next(iter(pipe))
+    assert b.image.shape == (4, 96, 96, 3)
+    vb = b.box[b.valid]
+    if len(vb):
+        assert np.all(vb[:, 0::2] >= 0) and np.all(vb[:, 0::2] <= 96)
+        assert np.all(vb[:, 2] > vb[:, 0]) and np.all(vb[:, 3] > vb[:, 1])
+
+
+def test_host_augment_deterministic():
+    from odc_tpu.data.host_augment import reference_augment
+
+    rng1 = np.random.default_rng(9)
+    rng2 = np.random.default_rng(9)
+    img = np.random.default_rng(0).integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    boxes = np.array([[5, 5, 30, 40]], np.float64)
+    labels = np.array([3])
+    a = reference_augment(img, boxes, labels, rng1)
+    b = reference_augment(img, boxes, labels, rng2)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1])

@@ -131,3 +131,20 @@ def test_yolov1_train_mode_dropout():
         mutable=["batch_stats"],
     )
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_yolov2_remat_grads():
+    # remat=True must produce identical forward output and finite grads.
+    m1 = YOLOv2(image_size=(64, 64))
+    m2 = YOLOv2(image_size=(64, 64), remat=True)
+    x = _rand_img(jax.random.key(0), 1, 64, 64)
+    v = jax.jit(m1.init)(jax.random.key(1), x)
+    y1 = m1.apply(v, x)
+    y2 = m2.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    def loss(params, model):
+        return jnp.sum(model.apply(params, x) ** 2)
+
+    g = jax.grad(lambda p: loss(p, m2))(v)
+    assert np.isfinite(float(jax.tree.leaves(g["params"])[0].sum()))
