@@ -41,6 +41,8 @@ def run(batch_sizes=(256, 128, 64), extra=None) -> dict:
     best = 0.0
     best_bs = None
     for bs in batch_sizes:
+        if best_bs is not None:
+            break  # largest batch succeeded; smaller ones are fallbacks
         try:
             images = jnp.asarray(
                 rng.integers(0, 255, (bs, 416, 416, 3), dtype=np.uint8)
