@@ -24,6 +24,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a multi-host runtime.
+
+    The TPU-native replacement for a communication backend (SURVEY.md §5):
+    ``jax.distributed.initialize`` wires up the processes; all actual
+    communication is XLA collectives over ICI/DCN.  No-ops (returns False)
+    in single-process runs."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(
     data: int = -1,
     model: int = 1,

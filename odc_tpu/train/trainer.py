@@ -175,6 +175,7 @@ class Trainer:
         mode: Optional[str] = None,
         rng_seed: Optional[int] = None,
         augment_cfg=None,
+        mesh=None,
     ) -> None:
         self.model = model
         self.train_pipeline = train_pipeline
@@ -205,6 +206,7 @@ class Trainer:
         self.eval_step = make_eval_step(
             model, self.mode, self.lambdas, self.anchors
         )
+        self.mesh = mesh
         os.makedirs(ckpt_path, exist_ok=True)
         self.logger = JsonlLogger(os.path.join(ckpt_path, "metrics.jsonl"))
 
@@ -216,20 +218,19 @@ class Trainer:
 
     # -- epochs ------------------------------------------------------------
 
-    def _device_batch(self, batch):
-        return jax.tree.map(jnp.asarray, batch)
-
     def run_train_epoch(self, state: TrainState, epoch: int):
+        from odc_tpu.data.prefetch import device_prefetch
+
         losses = []
         dataset_size = len(self.train_pipeline.dataset)
         seen = 0
         t0 = time.time()
-        for batch in self.train_pipeline:
+        for batch in device_prefetch(self.train_pipeline, mesh=self.mesh):
             seen += batch.image.shape[0]
             lr = self.schedule.step_lr(epoch, seen / dataset_size)
             self.rng, sub = jax.random.split(self.rng)
             state, metrics = self.train_step(
-                state, self._device_batch(batch), jnp.float32(lr), sub
+                state, batch, jnp.float32(lr), sub
             )
             losses.append(metrics["loss"])
         # One host sync at epoch end, not per step (reference syncs per
@@ -246,9 +247,11 @@ class Trainer:
         return state, float(np.mean(losses)) if losses else 0.0
 
     def run_val_epoch(self, state: TrainState, epoch: int) -> float:
+        from odc_tpu.data.prefetch import device_prefetch
+
         losses = []
-        for batch in self.val_pipeline:
-            losses.append(self.eval_step(state, self._device_batch(batch)))
+        for batch in device_prefetch(self.val_pipeline, mesh=self.mesh):
+            losses.append(self.eval_step(state, batch))
         val = float(np.mean([float(x) for x in losses])) if losses else 0.0
         self.logger.write(kind="val_epoch", epoch=epoch, loss=val)
         return val
@@ -273,6 +276,10 @@ class Trainer:
     def fit(self, state: Optional[TrainState] = None) -> Tuple[TrainState, dict]:
         if state is None:
             state = self.init_state()
+        if self.mesh is not None:
+            from odc_tpu.parallel.mesh import shard_state
+
+            state = shard_state(state, self.mesh)
 
         with open(
             os.path.join(self.ckpt_path, "train_config.json"), "w"

@@ -115,7 +115,7 @@ def main():
     augment_cfg = None if args.no_augment else AugmentConfig()
     trainer = Trainer(
         model, train_pipe, val_pipe, train_cfg,
-        ckpt_path=ckpt_path, augment_cfg=augment_cfg,
+        ckpt_path=ckpt_path, augment_cfg=augment_cfg, mesh=mesh,
     )
 
     state = None
