@@ -47,3 +47,64 @@ def reference_utils():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+def _install_albumentations_stub():
+    """Package-shaped albumentations stub so the reference model modules
+    import (they build TRANSFORM/RESIZE pipelines at module scope).  The stub
+    transforms are identity: parity tests feed pre-sized images, so the
+    reference's ``self.resize`` must be a no-op."""
+    import types
+
+    if "albumentations" in sys.modules:
+        return
+
+    stub = types.ModuleType("albumentations")
+    stub.__path__ = []  # mark as package for "import albumentations.pytorch"
+
+    class _Identity:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *, image=None, bboxes=None, labels=None, **k):
+            return {"image": image, "bboxes": bboxes, "labels": labels}
+
+    for name in (
+        "Compose", "RandomScale", "Affine", "OneOf", "HorizontalFlip",
+        "VerticalFlip", "ChannelShuffle", "HueSaturationValue", "Resize",
+        "BboxParams",
+    ):
+        setattr(stub, name, _Identity)
+
+    sys.modules["albumentations"] = stub
+    sys.modules["albumentations.pytorch"] = types.ModuleType(
+        "albumentations.pytorch"
+    )
+
+
+@pytest.fixture(scope="session")
+def reference_models():
+    """The reference repo's yolov1/yolov2 modules (torch CPU), imported with
+    an identity-albumentations stub — used ONLY as parity-test oracles.
+
+    Returns a dict with the two modules; model objects must be
+    ``__new__``-constructed by the tests (``__init__`` downloads weights)."""
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference repo not available")
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        pytest.skip("torch not available")
+
+    _install_albumentations_stub()
+    ref = str(REFERENCE_ROOT)
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    import importlib
+
+    yolov1 = importlib.import_module("models.yolov1")
+    yolov2 = importlib.import_module("models.yolov2")
+    return {"yolov1": yolov1, "yolov2": yolov2}
