@@ -69,33 +69,47 @@ class Detector:
 
     # -- batched path -------------------------------------------------------
 
-    def infer_batch(self, images: np.ndarray):
+    def infer_batch(
+        self,
+        images: np.ndarray,
+        conf_thre: Optional[float] = None,
+        iou_thre: Optional[float] = None,
+    ):
         """[B, H, W, 3] uint8 -> (boxes [B,K,4], conf [B,K], cls_scores
-        [B,K,C], keep [B,K]) numpy."""
-        out = self._infer(self.variables, jnp.asarray(images))
+        [B,K,C], keep [B,K]) numpy.  Thresholds are traced scalars — one
+        compiled program serves every pair."""
+        out = self._infer(
+            self.variables,
+            jnp.asarray(images),
+            self.conf_thre if conf_thre is None else conf_thre,
+            self.iou_thre if iou_thre is None else iou_thre,
+        )
         return tuple(np.asarray(o) for o in out)
 
     # -- reference-contract single-image path --------------------------------
 
     def detect(self, img: np.ndarray, conf_score_thre: Optional[float] = None,
                iou_thre: Optional[float] = None) -> Dict[str, list]:
-        if conf_score_thre is not None and conf_score_thre != self.conf_thre:
-            raise ValueError(
-                "thresholds are baked into the compiled program; construct "
-                "a Detector with the desired conf/iou thresholds"
-            )
         orig_h, orig_w = img.shape[:2]
 
         if self.mode == "v1":
             net_hw = self.model.image_size
             x = _resize_host(img, net_hw)
         else:
-            # v2 runs at native size (yolov2.py:666-667); dims are floored
-            # to the stride-32 grid by the pooling chain.
-            net_hw = (max(32, (orig_h // 32) * 32), max(32, (orig_w // 32) * 32))
-            x = _resize_host(img, net_hw)
+            # v2 feeds the NATIVE image (yolov2.py:666-667); the pooling
+            # chain floors odd dims, and the quadrant neck drops the odd
+            # trailing row/col exactly like the reference slicing.
+            if orig_h < 64 or orig_w < 64:
+                raise ValueError(
+                    f"YOLOv2 native-size detect needs images >= 64x64 "
+                    f"(stride-32 grid plus the passthrough tap), got "
+                    f"{orig_h}x{orig_w}"
+                )
+            x = img
 
-        boxes, conf, cls_scores, keep = self.infer_batch(x[None])
+        boxes, conf, cls_scores, keep = self.infer_batch(
+            x[None], conf_score_thre, iou_thre
+        )
         boxes, conf, cls_scores = boxes[0][keep[0]], conf[0][keep[0]], cls_scores[0][keep[0]]
 
         if self.mode == "v1":
@@ -107,11 +121,8 @@ class Detector:
             boxes = boxes * np.array(
                 [orig_w / w, orig_h / h, orig_w / w, orig_h / h]
             )
-        else:
-            h, w = net_hw
-            boxes = boxes * np.array(
-                [orig_w / w, orig_h / h, orig_w / w, orig_h / h]
-            )
+        # v2: boxes are already in native pixel coordinates (the reference
+        # applies no clip or inverse resize, yolov2.py:651-745).
 
         lbl_idx = cls_scores.argmax(-1) if len(cls_scores) else np.zeros(0, int)
         return {

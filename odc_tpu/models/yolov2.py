@@ -26,13 +26,15 @@ from odc_tpu.ops.decode import decode_v2, Detections, YOLOV2_ANCHORS
 
 
 def quadrant_stack(h1: jnp.ndarray) -> jnp.ndarray:
-    """[N, 2h, 2w, C] -> [N, h, w, 4C] with channel blocks = TL/TR/BL/BR
-    quadrants (reference yolov2.py:254-301 semantics, NHWC)."""
+    """[N, H, W, C] -> [N, H//2, W//2, 4C] with channel blocks = TL/TR/BL/BR
+    quadrants (reference yolov2.py:254-301 semantics, NHWC).  Odd trailing
+    rows/cols are dropped, exactly like the reference's ``[i*W2 : i*W2+W2]``
+    slices (native-size v2 inference hits odd dims, yolov2.py:666-667)."""
     _, hh, ww, _ = h1.shape
     h, w = hh // 2, ww // 2
-    left, right = h1[:, :, :w, :], h1[:, :, w:, :]
-    hw = jnp.concatenate([left, right], axis=-1)  # [N, 2h, w, 2C]
-    top, bottom = hw[:, :h, :, :], hw[:, h:, :, :]
+    left, right = h1[:, :, :w, :], h1[:, :, w : 2 * w, :]
+    hw = jnp.concatenate([left, right], axis=-1)  # [N, H, w, 2C]
+    top, bottom = hw[:, :h, :, :], hw[:, h : 2 * h, :, :]
     return jnp.concatenate([top, bottom], axis=-1)  # [N, h, w, 4C]
 
 
@@ -40,7 +42,7 @@ def space_to_depth(h1: jnp.ndarray) -> jnp.ndarray:
     """Paper-style stride-2 reorg: [N, 2h, 2w, C] -> [N, h, w, 4C]."""
     n, hh, ww, c = h1.shape
     h, w = hh // 2, ww // 2
-    h1 = h1.reshape(n, h, 2, w, 2, c)
+    h1 = h1[:, : 2 * h, : 2 * w, :].reshape(n, h, 2, w, 2, c)
     h1 = h1.transpose(0, 1, 3, 2, 4, 5)
     return h1.reshape(n, h, w, 4 * c)
 

@@ -25,13 +25,15 @@ def make_infer_fn(
     max_keep: int = 64,
     class_wise: bool = False,
 ) -> Callable:
-    """Build ``infer(variables, images) -> (boxes, conf, cls_scores, keep)``
-    with leading batch dim and static ``max_keep`` shapes.  Jittable; NMS
-    thresholds default to the reference's detect() values
-    (``models/yolov1.py:439-443``); ``class_wise`` upgrades the reference's
-    class-agnostic suppression (SURVEY.md note E)."""
+    """Build ``infer(variables, images, conf_thre=..., iou_thre=...) ->
+    (boxes, conf, cls_scores, keep)`` with leading batch dim and static
+    ``max_keep`` shapes.  Jittable; the thresholds are *traced scalars* (data,
+    not shape), so one compiled program serves every threshold pair — the
+    reference accepts them per detect() call (``models/yolov1.py:439-443``).
+    Defaults are the constructor values; ``class_wise`` upgrades the
+    reference's class-agnostic suppression (SURVEY.md note E)."""
 
-    def infer(variables, images):
+    def infer(variables, images, conf_thre=conf_thre, iou_thre=iou_thre):
         y = model.apply(variables, images, train=False)
         det = model.decode(y, images.shape[1:3])
         b = images.shape[0]

@@ -1,0 +1,106 @@
+"""End-to-end YOLOv2 parity vs the reference with SHARED weights.
+
+The strongest parity proof available without pretrained weights (VERDICT
+task 8): fully construct the reference torch ``YOLOv2`` (its backbone builds
+from scratch, no downloads), bridge its random-init weights into our flax
+model via :mod:`odc_tpu.models.convert_torch`, and assert the two frameworks
+produce the same head outputs and the same detected boxes — including on an
+odd-sized image fed at NATIVE size (reference ``models/yolov2.py:666-667``:
+no resize; pooling floors odd dims, the neck drops the odd row/col).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.data.voc import CLASS_LIST
+from odc_tpu.eval.evaluator import Detector
+from odc_tpu.models import YOLOv2
+from odc_tpu.models.convert_torch import load_torch_yolov2
+
+CLS2IDX = {c: i for i, c in enumerate(CLASS_LIST)}
+
+
+@pytest.fixture(scope="module")
+def shared_v2(reference_models):
+    """(torch reference model, our model, converted variables)."""
+    import torch
+
+    torch.manual_seed(0)
+    ref = reference_models["yolov2"].YOLOv2(CLASS_LIST, CLS2IDX)
+    ref.eval()
+
+    model = YOLOv2(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.uint8)
+    )
+    variables = load_torch_yolov2(ref, variables)
+    return ref, model, variables
+
+
+def test_forward_parity_416(shared_v2):
+    import torch
+
+    ref, model, variables = shared_v2
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (1, 416, 416, 3), dtype=np.uint8)
+
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(img)).numpy()
+    y_ours = np.asarray(model.apply(variables, jnp.asarray(img), train=False))
+
+    assert y_ref.shape == y_ours.shape == (1, 13, 13, 5, 25)
+    np.testing.assert_allclose(y_ref, y_ours, rtol=1e-3, atol=2e-3)
+
+
+def test_forward_parity_native_odd_size(shared_v2):
+    """Native odd-size input: pooling floors, neck drops the odd row/col."""
+    import torch
+
+    ref, model, variables = shared_v2
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (1, 250, 330, 3), dtype=np.uint8)
+
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(img)).numpy()
+    y_ours = np.asarray(model.apply(variables, jnp.asarray(img), train=False))
+
+    assert y_ref.shape == y_ours.shape  # (1, 7, 10, 5, 25)
+    np.testing.assert_allclose(y_ref, y_ours, rtol=1e-3, atol=2e-3)
+
+
+def test_detect_parity_native_odd_size(shared_v2):
+    """Reference-contract detect() on an odd-sized image: same kept boxes,
+    same labels, same scores — with per-call thresholds."""
+    import torch
+
+    ref, model, variables = shared_v2
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (250, 330, 3), dtype=np.uint8)
+
+    # Pick a conf threshold that keeps a handful of candidates (random-init
+    # conf scores cluster near 0.5, the reference default 0.9 keeps none).
+    with torch.no_grad():
+        conf = torch.sigmoid(ref(torch.tensor(img[None]))[..., 4]).numpy()
+    conf_thre = float(np.quantile(conf, 1.0 - 12.5 / conf.size))
+
+    ref_pred = ref.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
+
+    det = Detector(model, variables, max_keep=64)
+    our_pred = det.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
+
+    ref_boxes = np.asarray(ref_pred["bbox_list"], np.float64).reshape(-1, 4)
+    our_boxes = np.asarray(our_pred["bbox_list"], np.float64).reshape(-1, 4)
+    assert len(ref_boxes) == len(our_boxes) > 0
+    np.testing.assert_allclose(ref_boxes, our_boxes, rtol=1e-3, atol=5e-3)
+    assert ref_pred["lbl_list"] == our_pred["lbl_list"]
+    np.testing.assert_allclose(
+        np.asarray(ref_pred["conf_score_list"], np.float64),
+        np.asarray(our_pred["conf_score_list"], np.float64),
+        rtol=1e-3,
+        atol=1e-4,
+    )
