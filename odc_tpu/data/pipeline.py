@@ -125,7 +125,13 @@ class DetectionPipeline:
         return img_id, img, boxes, labels
 
     def _make_batch(self, indices) -> Batch:
-        b = len(indices)
+        # Short tail batches (drop_remainder=False) are PADDED to the full
+        # static batch size: padded rows have zero images, no valid boxes,
+        # and img_id == -1.  Every loss term is masked by box validity, so
+        # padded rows contribute nothing — but the compiled step is reused
+        # (no tail-shape recompile) and no image is silently dropped (the
+        # reference validates over every image, train.py:68-71).
+        b = self.batch_size
         m = self.max_boxes
         h, w = self.image_hw
         image = np.zeros((b, h, w, 3), np.uint8)
@@ -135,7 +141,7 @@ class DetectionPipeline:
         box = np.zeros((b, m, 4), np.float32)
         cls = np.zeros((b, m), np.int32)
         valid = np.zeros((b, m), bool)
-        img_ids = np.zeros((b,), np.int32)
+        img_ids = np.full((b,), -1, np.int32)
 
         for i, idx in enumerate(indices):
             img_id, img, boxes, labels = self._load_sample(idx)

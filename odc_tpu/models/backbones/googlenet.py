@@ -14,11 +14,15 @@ Architecture notes (torchvision semantics, reproduced):
 * The "5x5" inception branch actually uses a 3x3 conv (a long-standing
   torchvision quirk, kept for weight compatibility).
 * All downsampling max pools are 3x3/2 with ``ceil_mode=True``.
-* ``torch.hub`` with ``pretrained=True`` forces ``transform_input=True``:
-  the network internally remaps ImageNet-normalized input to
-  ``(x/255 - 0.5) / 0.5`` per channel.  Composed with the reference's
-  in-model ImageNet normalize (``googlenet.py:54-72``), the *effective*
-  normalization is ``(x/255 - 0.5) / 0.5``, which is what we apply.
+* Convs use torch-style symmetric ``(k-1)//2`` padding.  For the stride-2
+  7x7 stem conv this differs from XLA "SAME" (which would pad (2, 3));
+  proven against a torch oracle in ``tests/test_convert_googlenet.py``.
+* Although ``torch.hub`` with ``pretrained=True`` forces
+  ``transform_input=True``, the reference never runs the hub model's own
+  ``forward`` — it walks ``conv1..inception5b`` manually
+  (``googlenet.py:30-47``) — so ``transform_input`` is bypassed and the
+  effective normalization is exactly the reference's in-model ImageNet
+  normalize (``googlenet.py:54-72``), which is what we apply.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from odc_tpu.models.layers import max_pool_3x3_ceil
+from odc_tpu.models.layers import imagenet_normalize, max_pool_3x3_ceil
 
 
 class BasicConv2d(nn.Module):
@@ -39,11 +43,15 @@ class BasicConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch-style symmetric padding: differs from "SAME" for the
+        # stride-2 7x7 stem conv (SAME would pad (2, 3), torch pads (3, 3)).
+        kh, kw = self.kernel
+        pad = ((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2
         x = nn.Conv(
             self.features,
             self.kernel,
             strides=self.strides,
-            padding="SAME",
+            padding=pad,
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -108,9 +116,9 @@ class GoogLeNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # Effective normalization (see module docstring).
-        h = ((x.astype(jnp.float32) / 255.0) - 0.5) / 0.5
-        h = h.astype(self.dtype)
+        # The reference's in-model ImageNet normalize (googlenet.py:54-72);
+        # transform_input is bypassed (see module docstring).
+        h = imagenet_normalize(x, self.dtype)
 
         h = BasicConv2d(64, (7, 7), strides=(2, 2), dtype=self.dtype)(h, train)
         h = max_pool_3x3_ceil(h)

@@ -76,6 +76,56 @@ def load_torch_darknet19(torch_backbone, variables) -> Dict:
     return variables
 
 
+def load_torch_googlenet_backbone(torch_googlenet, variables) -> Dict:
+    """Copy a torchvision-layout GoogLeNet (torch module with conv1..
+    inception5b, the subset the reference walks in ``googlenet.py:30-47``)
+    into flax variables of our ``GoogLeNetBackbone`` — possibly nested in a
+    parent model under ``GoogLeNetBackbone_0``."""
+    import jax
+
+    from odc_tpu.models.backbones.convert_googlenet import convert_state_dict
+
+    variables = jax.tree.map(np.asarray, variables)
+    nested = "GoogLeNetBackbone_0" in variables["params"]
+    sub = (
+        {
+            "params": variables["params"]["GoogLeNetBackbone_0"],
+            "batch_stats": variables["batch_stats"]["GoogLeNetBackbone_0"],
+        }
+        if nested
+        else variables
+    )
+    sub = convert_state_dict(
+        {k: v for k, v in torch_googlenet.state_dict().items()}, sub
+    )
+    if not nested:
+        return sub
+    variables["params"]["GoogLeNetBackbone_0"] = sub["params"]
+    variables["batch_stats"]["GoogLeNetBackbone_0"] = sub["batch_stats"]
+    return variables
+
+
+def load_torch_yolov1(torch_model, variables) -> Dict:
+    """Copy a full reference ``YOLOv1`` (torch) — GoogLeNet backbone + the
+    Flatten/Dense head (``models/yolov1.py:80-86``) — into flax variables of
+    :class:`odc_tpu.models.yolov1.YOLOv1`.  The flatten order matches (both
+    flatten NHWC [N, 7, 7, 1024] row-major)."""
+    import torch.nn as tnn
+
+    variables = load_torch_googlenet_backbone(
+        torch_model.backbone_model.backbone_model, variables
+    )
+    params = variables["params"]
+    linears = [
+        m for m in torch_model.head_model if isinstance(m, tnn.Linear)
+    ]
+    for i, lin in enumerate(linears):
+        dense = params[f"Dense_{i}"]
+        dense["kernel"] = _np(lin.weight).T  # [out, in] -> [in, out]
+        dense["bias"] = _np(lin.bias)
+    return variables
+
+
 def load_torch_yolov2(torch_model, variables) -> Dict:
     """Copy a full reference ``YOLOv2`` (torch) — backbone + neck-conv +
     head — into flax variables of :class:`odc_tpu.models.yolov2.YOLOv2`."""

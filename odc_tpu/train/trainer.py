@@ -249,10 +249,18 @@ class Trainer:
     def run_val_epoch(self, state: TrainState, epoch: int) -> float:
         from odc_tpu.data.prefetch import device_prefetch
 
-        losses = []
+        losses, weights = [], []
         for batch in device_prefetch(self.val_pipeline, mesh=self.mesh):
             losses.append(self.eval_step(state, batch))
-        val = float(np.mean([float(x) for x in losses])) if losses else 0.0
+            # Padded tail rows carry img_id == -1 and no valid boxes; weight
+            # each batch by its real image count so the epoch loss covers
+            # exactly len(val_dataset) images (reference train.py:68-71).
+            weights.append(int(np.sum(np.asarray(batch.img_id) >= 0)))
+        if not losses:
+            return 0.0
+        losses = np.asarray([float(x) for x in losses])
+        weights = np.asarray(weights, np.float64)
+        val = float((losses * weights).sum() / max(weights.sum(), 1.0))
         self.logger.write(kind="val_epoch", epoch=epoch, loss=val)
         return val
 

@@ -123,3 +123,29 @@ def test_host_augment_deterministic():
     b = reference_augment(img, boxes, labels, rng2)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_allclose(a[1], b[1])
+
+
+def test_val_tail_batch_padded_not_dropped(tmp_path):
+    """drop_remainder=False pads the tail to the static batch size with
+    img_id == -1 rows instead of dropping images (reference validates over
+    every image, train.py:68-71)."""
+    import numpy as np
+
+    from odc_tpu.data.pipeline import DetectionPipeline
+    from odc_tpu.data.voc import VOC, make_synthetic_voc
+
+    make_synthetic_voc(str(tmp_path), num_train=4, num_val=7)
+    ds = VOC(dataset_dir=str(tmp_path)).val_dataset
+
+    pipe = DetectionPipeline(
+        ds, image_hw=(64, 64), batch_size=4, mode="v2",
+        shuffle=False, drop_remainder=False, prefetch=0,
+    )
+    batches = list(pipe)
+    assert len(batches) == len(pipe) == 2
+    real = np.concatenate([np.asarray(b.img_id) for b in batches])
+    assert (real >= 0).sum() == 7  # every val image present exactly once
+    tail = batches[-1]
+    assert tail.image.shape[0] == 4  # static shape kept
+    assert not tail.valid[np.asarray(tail.img_id) < 0].any()
+    assert not tail.image[np.asarray(tail.img_id) < 0].any()

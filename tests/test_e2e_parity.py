@@ -104,3 +104,103 @@ def test_detect_parity_native_odd_size(shared_v2):
         rtol=1e-3,
         atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# YOLOv1 with the GoogLeNet replica oracle (no torchvision / no downloads).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shared_v1(reference_models):
+    """Reference torch YOLOv1 assembled from the replica backbone (its real
+    __init__ downloads weights), our YOLOv1, and bridged variables."""
+    import importlib
+
+    import torch
+
+    from torch_googlenet_replica import GoogLeNetReplica, randomize
+    from odc_tpu.models import YOLOv1
+    from odc_tpu.models.convert_torch import load_torch_yolov1
+
+    mod = reference_models["yolov1"]
+    gb_mod = importlib.import_module("models.backbones.googlenet")
+
+    wrapper = gb_mod.GoogLeNetBackbone.__new__(gb_mod.GoogLeNetBackbone)
+    torch.nn.Module.__init__(wrapper)
+    wrapper.backbone_model = randomize(GoogLeNetReplica(), seed=1)
+    wrapper.w_in = 224
+    wrapper.h_in = 224
+    wrapper.output_shape = [7, 7, 1024]
+
+    ref = mod.YOLOv1.__new__(mod.YOLOv1)
+    torch.nn.Module.__init__(ref)
+    ref.num_cls = len(CLASS_LIST)
+    ref.num_anchor_box = 2
+    ref.num_grid_cell_in_height = 7
+    ref.num_grid_cell_in_width = 7
+    ref.cls_list = CLASS_LIST
+    ref.cls2idx = CLS2IDX
+    ref.backbone_model = wrapper
+    torch.manual_seed(1)
+    ref.head_model = torch.nn.Sequential(
+        torch.nn.Flatten(),
+        torch.nn.Linear(7 * 7 * 1024, 4096),
+        torch.nn.ReLU(),
+        torch.nn.Dropout(0.5),
+        torch.nn.Linear(4096, 7 * 7 * 30),
+    )
+    ref.transform = mod.TRANSFORM  # identity stubs
+    ref.resize = mod.RESIZE
+    ref.eval()
+
+    model = YOLOv1(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.uint8)
+    )
+    variables = load_torch_yolov1(ref, variables)
+    return ref, model, variables
+
+
+def test_v1_forward_parity_224(shared_v1):
+    import torch
+
+    ref, model, variables = shared_v1
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (1, 224, 224, 3), dtype=np.uint8)
+
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(img)).reshape(1, 7, 7, 30).numpy()
+    y_ours = np.asarray(model.apply(variables, jnp.asarray(img), train=False))
+
+    np.testing.assert_allclose(y_ref, y_ours, rtol=1e-3, atol=2e-3)
+
+
+def test_v1_detect_parity_224(shared_v1):
+    """Reference-contract v1 detect: identical boxes after clip (+identity
+    inverse-resize: the albumentations stub makes resize a no-op, so the
+    input must already be 224x224)."""
+    import torch
+
+    ref, model, variables = shared_v1
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+
+    with torch.no_grad():
+        conf = torch.sigmoid(
+            ref(torch.tensor(img[None]))
+            .reshape(1, 7, 7, 30)[..., [4, 9]]
+        ).numpy()
+    conf_thre = float(np.quantile(conf, 1.0 - 8.5 / conf.size))
+
+    with torch.no_grad():
+        ref_pred = ref.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
+
+    det = Detector(model, variables, max_keep=64)
+    our_pred = det.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
+
+    ref_boxes = np.asarray(ref_pred["bbox_list"], np.float64).reshape(-1, 4)
+    our_boxes = np.asarray(our_pred["bbox_list"], np.float64).reshape(-1, 4)
+    assert len(ref_boxes) == len(our_boxes) > 0
+    np.testing.assert_allclose(ref_boxes, our_boxes, rtol=1e-3, atol=5e-3)
+    assert ref_pred["lbl_list"] == our_pred["lbl_list"]

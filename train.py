@@ -110,6 +110,9 @@ def main():
         max_boxes=train_cfg.max_boxes,
         mode="v1" if args.model == "YOLOv1" else "v2",
         shuffle=False,
+        # Validate over EVERY image like the reference (train.py:68-71);
+        # the tail batch is padded, not dropped.
+        drop_remainder=False,
     )
 
     augment_cfg = None if args.no_augment else AugmentConfig()
