@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from odc_tpu.models.backbones.googlenet import GoogLeNetBackbone
@@ -30,6 +31,12 @@ class YOLOv1(nn.Module):
 
     # Framework-level defaults mirroring the reference surface.
     image_size: Tuple[int, int] = (224, 224)
+
+    # Reference legacy-draft variant (``models/yolov1 temp.py:52-70``, dead
+    # code there, kept for capability parity): the whole head output goes
+    # through one sigmoid — pair with ``yolo_loss_paper`` and the legacy
+    # grid-cell AP evaluator.
+    legacy_sigmoid_head: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -48,7 +55,10 @@ class YOLOv1(nn.Module):
             hg * wg * out_dim, dtype=self.dtype, param_dtype=jnp.float32
         )(h)
 
-        return y.reshape(n, hg, wg, out_dim).astype(jnp.float32)
+        y = y.reshape(n, hg, wg, out_dim).astype(jnp.float32)
+        if self.legacy_sigmoid_head:
+            y = jax.nn.sigmoid(y)  # yolov1 temp.py:60
+        return y
 
     def decode(self, y, image_hw=None) -> Detections:
         return decode_v1(

@@ -148,3 +148,32 @@ def test_yolov2_remat_grads():
 
     g = jax.grad(lambda p: loss(p, m2))(v)
     assert np.isfinite(float(jax.tree.leaves(g["params"])[0].sum()))
+
+
+def test_legacy_sigmoid_head_variant():
+    """Reference legacy-draft model (yolov1 temp.py:52-70): all-sigmoid
+    head output in (0, 1), trainable with the paper-sum loss."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from odc_tpu.models import YOLOv1
+    from odc_tpu.losses.yolo_loss import yolo_loss_paper
+    from odc_tpu.ops.assign import assign
+    from odc_tpu.ops.decode import decode_v1
+
+    model = YOLOv1(legacy_sigmoid_head=True)
+    x = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    variables = model.init(jax.random.key(0), x)
+    y = model.apply(variables, x, train=False)
+    y_np = np.asarray(y)
+    assert (y_np > 0).all() and (y_np < 1).all()  # the one sigmoid
+
+    boxes = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]] * 2)
+    targets = assign(
+        boxes, jnp.zeros((2, 1), jnp.int32),
+        jnp.ones((2, 1), bool), (64, 64), mode="v1",
+    )
+    det = decode_v1(y, (64, 64), num_anchors=2)
+    total, parts = yolo_loss_paper(det, targets)
+    assert np.isfinite(float(total))

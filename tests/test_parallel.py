@@ -115,3 +115,26 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_maybe_initialize_distributed_noop_subprocess():
+    """Without coordinator env vars the init must be a no-op returning
+    False; with them set (to an unreachable address) it must at least
+    *attempt* jax.distributed.initialize (SURVEY.md §5 comm-backend row)."""
+    import subprocess
+    import sys
+
+    code_noop = (
+        "import os;"
+        "os.environ.pop('JAX_COORDINATOR_ADDRESS', None);"
+        "os.environ.pop('COORDINATOR_ADDRESS', None);"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from odc_tpu.parallel.mesh import maybe_initialize_distributed;"
+        "assert maybe_initialize_distributed() is False;"
+        "print('NOOP_OK')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code_noop],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert "NOOP_OK" in r.stdout, r.stderr
