@@ -6,6 +6,17 @@ v5e).  The measured program is a single jitted call: uint8 images in →
 backbone/neck/head (bfloat16 on the MXU) → fused decode → fixed-shape
 class-agnostic NMS (reference thresholds 0.9/0.5) → padded boxes out.
 
+Two configurations are measured:
+
+* ``bf16`` — the reference-parity model, the numerics the parity tests
+  prove;
+* ``int8_neck`` — the recommended serving config: the 3x3/3072->1024 neck
+  conv (27% of the network's FLOPs) runs as a dynamic-PTQ int8 MXU conv
+  (~1% layer-level quantization error, ``tests/test_quantize.py``).
+
+The headline ``value`` is the serving config; the parity number rides
+along as ``bf16_value``.
+
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 """
@@ -25,20 +36,38 @@ WARMUP_ITERS = 3
 TIMED_ITERS = 20
 
 
-def run(batch_sizes=(256, 128, 64), extra=None) -> dict:
+def _measure(infer, variables, images) -> float:
+    for _ in range(WARMUP_ITERS):
+        out = infer(variables, images)
+    np.asarray(out[3])  # full fetch: block_until_ready can return early
+    # through the experimental TPU relay, so sync via D2H.
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ITERS):
+        out = infer(variables, images)
+    np.asarray(out[3])
+    dt = time.perf_counter() - t0
+    return images.shape[0] * TIMED_ITERS / dt
+
+
+def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
     from odc_tpu.models import YOLOv2
     from odc_tpu.ops.detect import make_infer_fn
 
     model = YOLOv2(dtype=jnp.bfloat16)
-    infer = jax.jit(
+    infer_bf16 = jax.jit(
         make_infer_fn(model, conf_thre=0.9, iou_thre=0.5, max_keep=64)
+    )
+    infer_int8 = jax.jit(
+        make_infer_fn(
+            model, conf_thre=0.9, iou_thre=0.5, max_keep=64, int8_neck=True
+        )
     )
 
     rng = np.random.default_rng(0)
     init_img = jnp.zeros((1, 416, 416, 3), jnp.uint8)
     variables = jax.jit(model.init)(jax.random.key(0), init_img)
 
-    best = 0.0
+    best = best_bf16 = 0.0
     best_bs = None
     for bs in batch_sizes:
         if best_bs is not None:
@@ -47,22 +76,14 @@ def run(batch_sizes=(256, 128, 64), extra=None) -> dict:
             images = jnp.asarray(
                 rng.integers(0, 255, (bs, 416, 416, 3), dtype=np.uint8)
             )
-            for _ in range(WARMUP_ITERS):
-                out = infer(variables, images)
-            np.asarray(out[3])  # full fetch: block_until_ready can return
-            # early through the experimental TPU relay, so sync via D2H.
-
-            t0 = time.perf_counter()
-            for _ in range(TIMED_ITERS):
-                out = infer(variables, images)
-            np.asarray(out[3])
-            dt = time.perf_counter() - t0
-
-            ips = bs * TIMED_ITERS / dt
+            ips_int8 = _measure(infer_int8, variables, images)
+            ips_bf16 = _measure(infer_bf16, variables, images)
             if extra is not None:
-                extra[bs] = ips
-            if ips > best:
-                best, best_bs = ips, bs
+                extra[bs] = {"int8_neck": ips_int8, "bf16": ips_bf16}
+            if max(ips_int8, ips_bf16) > best:
+                best = max(ips_int8, ips_bf16)
+                best_bf16 = ips_bf16
+                best_bs = bs
         except Exception as e:  # OOM at large batch: fall through
             print(f"# bs={bs} failed: {type(e).__name__}", file=sys.stderr)
 
@@ -72,6 +93,8 @@ def run(batch_sizes=(256, 128, 64), extra=None) -> dict:
         "unit": "images/sec/chip",
         "vs_baseline": round(best / BASELINE_IMAGES_PER_SEC, 3),
         "batch_size": best_bs,
+        "precision": "bf16 + int8 dynamic-PTQ neck conv",
+        "bf16_value": round(best_bf16, 1),
         "device": str(jax.devices()[0]),
     }
 

@@ -53,6 +53,7 @@ class Detector:
         iou_thre: float = 0.5,
         max_keep: int = 64,
         class_wise: bool = False,
+        int8_neck: bool = False,
     ) -> None:
         self.model = model
         self.variables = variables
@@ -63,7 +64,9 @@ class Detector:
         self.mode = "v1" if type(model).__name__ == "YOLOv1" else "v2"
         self._infer = jax.jit(
             make_infer_fn(
-                model, conf_thre, iou_thre, max_keep, class_wise=class_wise
+                model, conf_thre, iou_thre, max_keep,
+                class_wise=class_wise,
+                int8_neck=int8_neck and self.mode == "v2",
             )
         )
 

@@ -53,17 +53,30 @@ class Darknet19Backbone(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, train: bool = False
+        self, x, train: bool = False, stem_out=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """[N, H, W, 3] RGB (0-255) -> (c5 [N,H/16,W/16,512], c7 [N,H/32,W/32,1024])."""
-        h = imagenet_normalize(x, self.dtype)
+        """[N, H, W, 3] RGB (0-255) -> (c5 [N,H/16,W/16,512], c7 [N,H/32,W/32,1024]).
 
+        ``stem_out`` (inference only): a precomputed
+        ``pool(stage2(pool(stage1(normalize(x)))))`` map [N, H/4, W/4, 64]
+        from an external fused/quantized stem; stages 1-2 are skipped (their
+        params still exist — init always runs the full path)."""
         stage_cls = (
             nn.remat(_Stage, static_argnums=(2,)) if self.remat else _Stage
         )
+        start = 0 if stem_out is None else 2
+        h = (
+            imagenet_normalize(x, self.dtype)
+            if stem_out is None
+            else stem_out.astype(self.dtype)
+        )
         c5 = None
         for stage_idx, stage in enumerate(_STAGES):
-            if 1 <= stage_idx <= 5:  # pool before stages 2..6 (reference net2-net6)
+            if stage_idx < start:
+                continue
+            # pool before stages 2..6 (reference net2-net6); stage3's
+            # pre-pool is already inside a provided stem_out.
+            if 1 <= stage_idx <= 5 and stage_idx != start:
                 h = max_pool_2x2(h)
             # Explicit names keep the param tree identical with/without remat.
             h = stage_cls(

@@ -61,19 +61,30 @@ class YOLOv2(nn.Module):
         return len(self.anchors)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        """[N, H, W, 3] RGB (0-255) -> raw head [N, Hg, Wg, A, 5 + C]."""
+    def __call__(
+        self, x, train: bool = False, stem_out=None, neck_override=None
+    ):
+        """[N, H, W, 3] RGB (0-255) -> raw head [N, Hg, Wg, A, 5 + C].
+
+        ``stem_out`` / ``neck_override`` are inference-only hooks for fused
+        or quantized replacements of the stem stages / the 3x3 neck conv
+        (see ``odc_tpu.ops.quantize``); init always runs the plain path so
+        the param tree is identical."""
         a = self.num_anchor_box
         out_dim = a * (5 + self.num_cls)
 
         c5, c7 = Darknet19Backbone(dtype=self.dtype, remat=self.remat)(
-            x, train
+            x, train, stem_out=stem_out
         )
 
         reorg = quadrant_stack if self.neck == "quadrant" else space_to_depth
         h = jnp.concatenate([reorg(c5), c7], axis=-1)  # [N, Hg, Wg, 3072]
 
-        h = ConvBnLeaky(1024, (3, 3), dtype=self.dtype)(h, train)
+        neck_conv = ConvBnLeaky(1024, (3, 3), dtype=self.dtype)
+        if neck_override is not None and not train:
+            h = neck_override(h)
+        else:
+            h = neck_conv(h, train)
         y = nn.Conv(
             out_dim, (1, 1), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32,
