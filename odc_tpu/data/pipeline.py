@@ -143,10 +143,9 @@ class DetectionPipeline:
         valid = np.zeros((b, m), bool)
         img_ids = np.full((b,), -1, np.int32)
 
-        for i, idx in enumerate(indices):
-            img_id, img, boxes, labels = self._load_sample(idx)
-            image[i] = img
-            img_ids[i] = img_id
+        boxes_of = self._load_batch_images(indices, image)
+        for i, (idx, (boxes, labels)) in enumerate(zip(indices, boxes_of)):
+            img_ids[i] = idx
             (
                 cell[i], sig_txty[i], twth[i], box[i], cls[i], valid[i]
             ) = assign_numpy(
@@ -154,6 +153,49 @@ class DetectionPipeline:
             )
 
         return Batch(image, cell, sig_txty, twth, box, cls, valid, img_ids)
+
+    def _load_batch_images(self, indices, image_out: np.ndarray):
+        """Fill ``image_out[:len(indices)]`` and return per-sample
+        (boxes, labels).
+
+        Fast path (no host augmentation, JPEG-backed dataset, native loader
+        built): ONE call into the C++ thread pool decodes and resizes the
+        whole batch off the GIL (``odc_decode_resize_batch``) — the
+        resize/rescale math is bitwise-identical to the per-sample path."""
+        from odc_tpu.native import loader as native_loader
+
+        h, w = self.image_hw
+        fast = (
+            self.augment is None
+            and hasattr(self.dataset, "img_path_list")
+            and hasattr(self.dataset, "annot_list")
+            and native_loader.batch_available()
+        )
+        if fast:
+            paths = [self.dataset.img_path_list[i] for i in indices]
+            imgs, src_hw = native_loader.decode_resize_batch(paths, (h, w))
+            image_out[: len(indices)] = imgs
+            out = []
+            for i, idx in enumerate(indices):
+                annot = self.dataset.annot_list[idx]
+                boxes = np.asarray(
+                    annot["bbox_list"], np.float64
+                ).reshape(-1, 4)
+                labels = np.asarray(
+                    [self.cls2idx[c] for c in annot["lbl_list"]], np.int32
+                )
+                sh, sw = int(src_hw[i, 0]), int(src_hw[i, 1])
+                if (sh, sw) != (h, w) and len(boxes):
+                    boxes = boxes * np.array([w / sw, h / sh, w / sw, h / sh])
+                out.append((boxes, labels))
+            return out
+
+        out = []
+        for i, idx in enumerate(indices):
+            _img_id, img, boxes, labels = self._load_sample(idx)
+            image_out[i] = img
+            out.append((boxes, labels))
+        return out
 
     # -- iteration ----------------------------------------------------------
 

@@ -13,7 +13,7 @@ OUT = os.path.join(HERE, "libodc_loader.so")
 
 def build(verbose: bool = True) -> str:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-o", OUT, SRC, "-ljpeg",
     ]
     if verbose:

@@ -56,6 +56,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
         ]
         lib.odc_resize_bilinear.restype = ctypes.c_int
+        try:  # stale .so builds may predate the batch API
+            lib.odc_decode_resize_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
+            lib.odc_decode_resize_batch.restype = ctypes.c_int
+        except AttributeError:
+            pass
         _lib = lib
     except OSError:
         _load_failed = True
@@ -126,3 +136,42 @@ def resize_bilinear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("native resize failed")
     return out
+
+
+def batch_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "odc_decode_resize_batch")
+
+
+def decode_resize_batch(
+    paths, out_hw: Tuple[int, int], n_threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """N JPEG files -> ([N, out_h, out_w, 3] RGB uint8, [N, 2] original
+    (h, w)) via the C++ thread pool (``n_threads=0``: hardware threads).
+
+    The production input path the reference lacks (its DataLoader runs
+    ``num_workers=0``, train.py:64-71): every decode runs off the GIL.
+    Raises on the first failed image."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "odc_decode_resize_batch")
+    n = len(paths)
+    oh, ow = out_hw
+    out = np.empty((n, oh, ow, 3), np.uint8)
+    src_hw = np.zeros((n, 2), np.int32)
+    rcs = np.zeros((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failed = lib.odc_decode_resize_batch(
+        arr, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        oh, ow,
+        src_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    if failed:
+        bad = int(np.flatnonzero(rcs)[0])
+        raise IOError(
+            f"batch decode: {failed}/{n} images failed "
+            f"(first: {paths[bad]} rc={int(rcs[bad])})"
+        )
+    return out, src_hw

@@ -12,10 +12,12 @@
 
 #include <jpeglib.h>
 
+#include <atomic>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -142,6 +144,54 @@ void resize_impl(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
 }  // namespace
 
 extern "C" {
+
+int odc_decode_resize_jpeg(const char* path, uint8_t* out, int out_h,
+                           int out_w, int* src_h, int* src_w);
+
+// Threaded batch decode+resize: n JPEGs -> one contiguous
+// [n, out_h, out_w, 3] RGB8 buffer. src_hw (optional) receives n (h, w)
+// pairs; rcs (optional) receives per-image status. Returns the number of
+// failed images (0 = all good). This is the production input path the
+// reference lacks entirely (its DataLoader runs num_workers=0,
+// train.py:64-71): decode happens off the GIL on a std::thread pool while
+// the device computes the previous batch.
+int odc_decode_resize_batch(const char* const* paths, int n, uint8_t* out,
+                            int out_h, int out_w, int* src_hw, int* rcs,
+                            int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > n) n_threads = n;
+
+  const size_t img_bytes = static_cast<size_t>(out_h) * out_w * 3;
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+
+  auto work = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      int h = 0, w = 0;
+      const int rc = odc_decode_resize_jpeg(
+          paths[i], out + static_cast<size_t>(i) * img_bytes, out_h, out_w,
+          &h, &w);
+      if (src_hw) {
+        src_hw[2 * i] = h;
+        src_hw[2 * i + 1] = w;
+      }
+      if (rcs) rcs[i] = rc;
+      if (rc != 0) failed.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return failed.load();
+}
 
 int odc_jpeg_dims(const char* path, int* h, int* w) {
   return decode_impl(path, nullptr, -1, -1, h, w, /*header_only=*/true);

@@ -149,3 +149,39 @@ def test_val_tail_batch_padded_not_dropped(tmp_path):
     assert tail.image.shape[0] == 4  # static shape kept
     assert not tail.valid[np.asarray(tail.img_id) < 0].any()
     assert not tail.image[np.asarray(tail.img_id) < 0].any()
+
+
+def test_batch_decode_fast_path_matches_per_sample(tmp_path, monkeypatch):
+    """The C++ thread-pool batch decode path must produce bitwise-identical
+    batches to the per-sample path (same resize convention, same box
+    rescale math)."""
+    import numpy as np
+    import pytest
+
+    from odc_tpu.data.pipeline import DetectionPipeline
+    from odc_tpu.data.voc import VOC, make_synthetic_voc
+    from odc_tpu.native import loader
+
+    if not loader.batch_available():
+        pytest.skip("native loader not built")
+
+    make_synthetic_voc(str(tmp_path), num_train=6, num_val=2)
+    ds = VOC(dataset_dir=str(tmp_path)).train_dataset
+
+    def batches(force_slow):
+        if force_slow:
+            monkeypatch.setattr(loader, "batch_available", lambda: False)
+        else:
+            monkeypatch.undo()
+        pipe = DetectionPipeline(
+            ds, image_hw=(96, 128), batch_size=3, mode="v2",
+            shuffle=False, prefetch=0,
+        )
+        return list(pipe)
+
+    fast = batches(False)
+    slow = batches(True)
+    assert len(fast) == len(slow) == 2
+    for bf, bs in zip(fast, slow):
+        for name, a, b in zip(bf._fields, bf, bs):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), name

@@ -70,3 +70,36 @@ def test_decode_resize_fused(tmp_path):
 def test_missing_file_raises():
     with pytest.raises(IOError):
         loader.decode_jpeg("/nonexistent/file.jpg")
+
+
+def test_batch_decode_matches_sequential(tmp_path):
+    from PIL import Image
+
+    if not loader.batch_available():
+        pytest.skip("batch API not in built library")
+    rng = np.random.default_rng(0)
+    paths, refs = [], []
+    for i in range(7):
+        h, w = int(rng.integers(40, 200)), int(rng.integers(40, 200))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / f"{i}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+        refs.append(loader.decode_resize_jpeg(p, (64, 96)))
+
+    imgs, src_hw = loader.decode_resize_batch(paths, (64, 96), n_threads=4)
+    for i, (ref_img, ref_hw) in enumerate(refs):
+        assert np.array_equal(imgs[i], ref_img)
+        assert tuple(src_hw[i]) == ref_hw
+
+
+def test_batch_decode_surfaces_failures(tmp_path):
+    from PIL import Image
+
+    if not loader.batch_available():
+        pytest.skip("batch API not in built library")
+    img = np.zeros((16, 16, 3), np.uint8)
+    p = str(tmp_path / "ok.jpg")
+    Image.fromarray(img).save(p)
+    with pytest.raises(IOError, match="1/2 images failed"):
+        loader.decode_resize_batch([p, str(tmp_path / "no.jpg")], (8, 8))
