@@ -33,7 +33,16 @@ def parse_args():
     p.add_argument("--momentum", type=float, default=None)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--no-augment", action="store_true",
+                   help="shorthand for --augment none")
+    p.add_argument(
+        "--augment", default="host", choices=["host", "device", "none"],
+        help="host: reference-order augmentation on CPU, overlapped with "
+        "device compute via the prefetch thread (default; geometric warps "
+        "are gather-bound and slow on the TPU itself). device: fused "
+        "in-step augmentation (one XLA program; see PROFILE.md caveat). "
+        "none: disable.",
+    )
     p.add_argument("--data-parallel", type=int, default=-1,
                    help="devices on the data mesh axis (-1: all)")
     p.add_argument("--model-parallel", type=int, default=1)
@@ -95,6 +104,13 @@ def main():
     mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
     print(f"mesh: {dict(mesh.shape)}  devices: {len(jax.devices())}")
 
+    aug_mode = "none" if args.no_augment else args.augment
+    host_augment = None
+    if aug_mode == "host":
+        from odc_tpu.data.host_augment import reference_augment
+
+        host_augment = reference_augment
+
     train_pipe = DetectionPipeline(
         dataset.train_dataset,
         image_hw=model_cfg.image_size,
@@ -102,6 +118,7 @@ def main():
         max_boxes=train_cfg.max_boxes,
         mode="v1" if args.model == "YOLOv1" else "v2",
         seed=train_cfg.seed,
+        augment=host_augment,
     )
     val_pipe = DetectionPipeline(
         dataset.val_dataset,
@@ -115,7 +132,7 @@ def main():
         drop_remainder=False,
     )
 
-    augment_cfg = None if args.no_augment else AugmentConfig()
+    augment_cfg = AugmentConfig() if aug_mode == "device" else None
     trainer = Trainer(
         model, train_pipe, val_pipe, train_cfg,
         ckpt_path=ckpt_path, augment_cfg=augment_cfg, mesh=mesh,
