@@ -25,6 +25,7 @@ def make_infer_fn(
     max_keep: int = 64,
     class_wise: bool = False,
     int8_neck: bool = False,
+    compact: bool = False,
 ) -> Callable:
     """Build ``infer(variables, images, conf_thre=..., iou_thre=...) ->
     (boxes, conf, cls_scores, keep)`` with leading batch dim and static
@@ -72,8 +73,23 @@ def make_infer_fn(
 
         if sup_boxes is None:
             one_fn = lambda bb, cc, ss: one(bb, cc, ss, None)
-            return jax.vmap(one_fn)(boxes, conf, cls_scores)
-        return jax.vmap(one)(boxes, conf, cls_scores, sup_boxes)
+            out = jax.vmap(one_fn)(boxes, conf, cls_scores)
+        else:
+            out = jax.vmap(one)(boxes, conf, cls_scores, sup_boxes)
+        if not compact:
+            return out
+        # Compact outputs: per-box (label, score) instead of the full
+        # [B, K, C] class-score tensor — 5x less device->host traffic for
+        # the streaming-eval path (labels come from argmax of the
+        # class-specific score, reference yolov1.py:529-534).
+        o_boxes, o_conf, o_cls, o_keep = out
+        return (
+            o_boxes,
+            o_conf,
+            jnp.argmax(o_cls, axis=-1).astype(jnp.int32),
+            jnp.max(o_cls, axis=-1),
+            o_keep,
+        )
 
     return infer
 

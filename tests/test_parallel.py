@@ -138,3 +138,54 @@ def test_maybe_initialize_distributed_noop_subprocess():
         capture_output=True, text=True, timeout=120,
     )
     assert "NOOP_OK" in r.stdout, r.stderr
+
+
+def test_data_parallel_inference_matches_single_device():
+    """Batched e2e inference under the (data, model) mesh must produce the
+    same boxes as single-device execution — the multi-chip serving path
+    (batch sharded over ICI, zero cross-chip traffic at inference)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from odc_tpu.models import YOLOv2
+    from odc_tpu.ops.detect import make_infer_fn
+    from odc_tpu.parallel.mesh import make_mesh, shard_params
+
+    model = YOLOv2()
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.uint8))
+    infer = jax.jit(make_infer_fn(model, max_keep=16))
+
+    # Sharded execution reorders float accumulation (ulp-level conf
+    # differences), so place the threshold in the widest gap of the conf
+    # distribution to keep the selected set identical.
+    probe = np.sort(
+        np.asarray(
+            infer(variables, jnp.asarray(images), 0.0, 0.5)[1]
+        ).ravel()
+    )
+    mid = probe[len(probe) // 2 :]
+    gap = int(np.argmax(np.diff(mid)))
+    conf_thre = float((mid[gap] + mid[gap + 1]) / 2)
+
+    ref = [
+        np.asarray(o)
+        for o in infer(variables, jnp.asarray(images), conf_thre, 0.5)
+    ]
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        v_sharded = shard_params(variables, mesh)
+        img_sharded = jax.device_put(
+            images, NamedSharding(mesh, P("data", None, None, None))
+        )
+        got = [
+            np.asarray(o) for o in infer(v_sharded, img_sharded, conf_thre, 0.5)
+        ]
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=1e-4)
