@@ -42,7 +42,13 @@ def _resize_host(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
 
 class Detector:
     """Model + params bound into jitted inference programs (cached per
-    image shape)."""
+    image shape).
+
+    Note: v2 native-size ``detect`` compiles one program per unique input
+    shape (reference parity demands native pixels).  For throughput over
+    many differently-sized images use ``evaluate_batched`` /
+    ``infer_batch`` at a fixed size instead; jax's persistent compilation
+    cache amortizes repeat shapes across processes."""
 
     def __init__(
         self,

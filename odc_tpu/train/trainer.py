@@ -19,6 +19,14 @@ TPU-native rework of the reference train loop (``models/yolov1.py:933-1173``,
 * multi-scale policy for v2 ("reference": size picked only at epoch 1,
   reproducing note D; "every10": the intended behavior).
 
+Deliberate deviation (SURVEY.md note D tail): the reference validates v2
+at NATIVE image size with bs=1 (an accident of its missing val resize,
+``models/yolov2.py:1404-1426`` + ``train.py:68-71``) — one compiled
+executable per unique image size, bs=1 device usage.  Here validation runs
+batched at the pipeline's static size; the reference-contract native-size
+path lives in ``Detector.detect`` / ``evaluate_model`` where per-image
+box parity actually matters.
+
 Data parallelism: the step is an ordinary ``jax.jit`` program — run under a
 ``Mesh`` with the batch sharded on the "data" axis (``odc_tpu.parallel``),
 XLA inserts the gradient ``psum`` over ICI.
