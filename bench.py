@@ -67,7 +67,7 @@ def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
     init_img = jnp.zeros((1, 416, 416, 3), jnp.uint8)
     variables = jax.jit(model.init)(jax.random.key(0), init_img)
 
-    best = best_bf16 = 0.0
+    best = best_bf16 = best_int8 = 0.0
     best_bs = None
     for bs in batch_sizes:
         if best_bs is not None:
@@ -90,6 +90,7 @@ def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
         if max(ips_int8, ips_bf16) > best:
             best = max(ips_int8, ips_bf16)
             best_bf16 = ips_bf16
+            best_int8 = ips_int8
             best_bs = bs
 
     return {
@@ -104,6 +105,7 @@ def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
             else "bf16"
         ),
         "bf16_value": round(best_bf16, 1),
+        "int8_neck_value": round(best_int8, 1),  # 0.0 = int8 path failed
         "device": str(jax.devices()[0]),
     }
 

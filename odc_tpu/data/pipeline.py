@@ -20,8 +20,6 @@ precedence bug; both behaviors supported).
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Callable, Iterator, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -127,10 +125,13 @@ class DetectionPipeline:
     def _make_batch(self, indices) -> Batch:
         # Short tail batches (drop_remainder=False) are PADDED to the full
         # static batch size: padded rows have zero images, no valid boxes,
-        # and img_id == -1.  Every loss term is masked by box validity, so
-        # padded rows contribute nothing — but the compiled step is reused
-        # (no tail-shape recompile) and no image is silently dropped (the
-        # reference validates over every image, train.py:68-71).
+        # and img_id == -1.  Every LOSS term is masked by box validity, so
+        # padded rows contribute nothing at EVAL (the compiled step is
+        # reused, no tail-shape recompile, and no image is silently dropped
+        # — the reference validates over every image, train.py:68-71).
+        # NOT safe for training: zero images would still feed BatchNorm
+        # batch statistics — Trainer rejects drop_remainder=False train
+        # pipelines.
         b = self.batch_size
         m = self.max_boxes
         h, w = self.image_hw
@@ -214,26 +215,10 @@ class DetectionPipeline:
                 yield self._make_batch(idxs)
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        errbox = []
+        from odc_tpu.data.prefetch import threaded_prefetch
 
-        def worker():
-            try:
-                for idxs in self._batch_indices():
-                    q.put(self._make_batch(idxs))
-            except BaseException as e:  # surface worker errors in main thread
-                errbox.append(e)
-            finally:
-                q.put(sentinel)
+        def items():
+            for idxs in self._batch_indices():
+                yield self._make_batch(idxs)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if errbox:
-            raise errbox[0]
+        yield from threaded_prefetch(items, maxsize=self.prefetch)

@@ -43,3 +43,57 @@ def device_prefetch(
         except StopIteration:
             pass
         yield out
+
+
+def threaded_prefetch(make_items, maxsize: int = 2) -> Iterator:
+    """Run ``make_items()`` (an iterable factory) on a daemon thread,
+    yielding its items through a bounded queue.
+
+    Shutdown-safe: if the CONSUMER stops early (exception or break), the
+    worker is signalled via a stop event and unblocked from its ``put`` —
+    no leaked thread pinning ``maxsize`` buffers.  Worker exceptions
+    re-raise in the consumer (unless the consumer is already unwinding its
+    own exception)."""
+    import queue as queue_mod
+    import sys
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=maxsize)
+    stop = threading.Event()
+    sentinel = object()
+    errbox = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in make_items():
+                if not _put(item):
+                    return
+        except BaseException as e:  # surfaced in the consumer thread
+            errbox.append(e)
+        finally:
+            _put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=10.0)
+        # re-raise a worker error only when the consumer isn't already
+        # propagating its own exception
+        if errbox and sys.exc_info()[0] is None:
+            raise errbox[0]

@@ -212,9 +212,6 @@ def evaluate_batched(
     Host work (JPEG decode+resize via the C++ thread pool when available,
     else per-sample) runs on a prefetch thread, overlapped with the
     device's inference on the previous batch (BASELINE config 5)."""
-    import queue
-    import threading
-
     from odc_tpu.native import loader as native_loader
 
     acc = APAccumulator(detector.cls_list, levels, dedup=dedup)
@@ -248,33 +245,16 @@ def evaluate_batched(
         return imgs, metas
 
     def batches():
-        if prefetch <= 0:
+        def items():
             for start in range(0, n, batch_size):
                 yield load(start)
+
+        if prefetch <= 0:
+            yield from items()
             return
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        sentinel = object()
-        errbox = []
+        from odc_tpu.data.prefetch import threaded_prefetch
 
-        def worker():
-            try:
-                for start in range(0, n, batch_size):
-                    q.put(load(start))
-            except BaseException as e:
-                errbox.append(e)
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if errbox:
-            raise errbox[0]
+        yield from threaded_prefetch(items, maxsize=prefetch)
 
     for imgs, metas in batches():
         boxes_b, _conf_b, lbl_b, score_b, keep_b = (

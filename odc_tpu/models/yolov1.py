@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from odc_tpu.models.backbones.googlenet import GoogLeNetBackbone
-from odc_tpu.ops.decode import decode_v1, Detections
+from odc_tpu.ops.decode import decode_v1, decode_v1_preactivated, Detections
 
 
 class YOLOv1(nn.Module):
@@ -34,8 +34,11 @@ class YOLOv1(nn.Module):
 
     # Reference legacy-draft variant (``models/yolov1 temp.py:52-70``, dead
     # code there, kept for capability parity): the whole head output goes
-    # through one sigmoid — pair with ``yolo_loss_paper`` and the legacy
-    # grid-cell AP evaluator.
+    # through ONE sigmoid, so ``decode`` consumes it pre-activated
+    # (``decode_v1_preactivated`` — no second sigmoid, sigmoid class probs
+    # instead of softmax).  Pair with ``yolo_loss_paper`` and the legacy
+    # grid-cell AP evaluator.  Capability parity, not bitwise draft parity:
+    # the draft's own loss works in globally-normalized box space.
     legacy_sigmoid_head: bool = False
 
     @nn.compact
@@ -61,6 +64,9 @@ class YOLOv1(nn.Module):
         return y
 
     def decode(self, y, image_hw=None) -> Detections:
-        return decode_v1(
+        decode_fn = (
+            decode_v1_preactivated if self.legacy_sigmoid_head else decode_v1
+        )
+        return decode_fn(
             y, image_hw or self.image_size, self.num_anchor_box
         )

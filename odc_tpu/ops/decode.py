@@ -104,6 +104,37 @@ def decode_v1(
     return Detections(sig_txty, sig_twth, boxes, conf, cls_prob, cls_spec)
 
 
+def decode_v1_preactivated(
+    y: jax.Array,
+    image_hw: Tuple[int, int],
+    num_anchors: int = 2,
+) -> Detections:
+    """Decode the LEGACY-draft head (``models/yolov1 temp.py:52-70``): the
+    model already applied one sigmoid to everything, so values are consumed
+    directly — txty/twth/conf straight from the head, per-cell class
+    probabilities are sigmoids (the draft uses no softmax).  Box corners
+    follow the same v1 grid math so detect/NMS/eval compose unchanged."""
+    b, hg, wg, d = y.shape
+    a = num_anchors
+    num_cls = d - a * 5
+
+    vals = y[..., : a * 5].reshape(b, hg, wg, a, 5)
+    sig_txty = vals[..., 0:2]
+    sig_twth = vals[..., 2:4]
+    conf = vals[..., 4]
+
+    cy, cx = _grid_offsets(hg, wg, y.dtype)
+    bx = sig_txty[..., 0] + cx
+    by = sig_txty[..., 1] + cy
+    bw = wg * sig_twth[..., 0]
+    bh = hg * sig_twth[..., 1]
+    boxes = _corners(bx, by, bw, bh, image_hw, hg, wg)
+
+    cls_prob = y[..., -num_cls:]  # already sigmoided by the legacy head
+    cls_spec = cls_prob[..., None, :] * conf[..., :, None]
+    return Detections(sig_txty, sig_twth, boxes, conf, cls_prob, cls_spec)
+
+
 def decode_v2(
     y: jax.Array,
     image_hw: Tuple[int, int],

@@ -185,6 +185,12 @@ class Trainer:
         augment_cfg=None,
         mesh=None,
     ) -> None:
+        if not getattr(train_pipeline, "drop_remainder", True):
+            raise ValueError(
+                "train pipeline must use drop_remainder=True: padded tail "
+                "rows are zero images that would feed BatchNorm batch "
+                "statistics in train mode (padding is eval-only)"
+            )
         self.model = model
         self.train_pipeline = train_pipeline
         self.val_pipeline = val_pipeline

@@ -64,6 +64,7 @@ def _install_albumentations_stub():
 
     stub = types.ModuleType("albumentations")
     stub.__path__ = []  # mark as package for "import albumentations.pytorch"
+    stub.__odc_stub__ = True  # tests must not mistake this for the real lib
 
     class _Identity:
         def __init__(self, *a, **k):

@@ -185,3 +185,42 @@ def test_batch_decode_fast_path_matches_per_sample(tmp_path, monkeypatch):
     for bf, bs in zip(fast, slow):
         for name, a, b in zip(bf._fields, bf, bs):
             assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_threaded_prefetch_consumer_abort_releases_worker():
+    """If the consumer stops early, the producer thread must exit instead
+    of blocking forever on a full queue (review finding r2)."""
+    import threading
+    import time
+
+    from odc_tpu.data.prefetch import threaded_prefetch
+
+    produced = []
+
+    def items():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    gen = threaded_prefetch(items, maxsize=1)
+    assert next(gen) == 0
+    gen.close()  # consumer walks away
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 100  # producer stopped early, not drained
+
+
+def test_threaded_prefetch_propagates_worker_error():
+    import pytest
+
+    from odc_tpu.data.prefetch import threaded_prefetch
+
+    def items():
+        yield 1
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(threaded_prefetch(items, maxsize=2))

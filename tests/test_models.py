@@ -160,7 +160,6 @@ def test_legacy_sigmoid_head_variant():
     from odc_tpu.models import YOLOv1
     from odc_tpu.losses.yolo_loss import yolo_loss_paper
     from odc_tpu.ops.assign import assign
-    from odc_tpu.ops.decode import decode_v1
 
     model = YOLOv1(legacy_sigmoid_head=True)
     x = jnp.zeros((2, 64, 64, 3), jnp.uint8)
@@ -169,11 +168,18 @@ def test_legacy_sigmoid_head_variant():
     y_np = np.asarray(y)
     assert (y_np > 0).all() and (y_np < 1).all()  # the one sigmoid
 
+    # model.decode must consume the pre-activated head WITHOUT a second
+    # sigmoid: the decoded values equal the head output verbatim.
+    det = model.decode(y, (64, 64))
+    raw = y_np[..., :10].reshape(y_np.shape[0], y_np.shape[1], y_np.shape[2], 2, 5)
+    np.testing.assert_array_equal(np.asarray(det.sig_txty), raw[..., 0:2])
+    np.testing.assert_array_equal(np.asarray(det.conf), raw[..., 4])
+    np.testing.assert_array_equal(np.asarray(det.cls_prob), y_np[..., -20:])
+
     boxes = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]] * 2)
     targets = assign(
         boxes, jnp.zeros((2, 1), jnp.int32),
         jnp.ones((2, 1), bool), (64, 64), mode="v1",
     )
-    det = decode_v1(y, (64, 64), num_anchors=2)
     total, parts = yolo_loss_paper(det, targets)
     assert np.isfinite(float(total))

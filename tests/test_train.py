@@ -157,3 +157,29 @@ def test_train_step_with_device_augment(voc, tiny_model_state):
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, jnp.float32(1e-3), sub)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_rejects_padded_train_pipeline(tmp_path):
+    """Padded tail rows are eval-only (zero images would feed BatchNorm
+    batch stats in train mode) — Trainer must reject them up front."""
+    import pytest
+
+    from odc_tpu.config import TRAIN_CONFIG
+    from odc_tpu.data.pipeline import DetectionPipeline
+    from odc_tpu.data.voc import VOC, make_synthetic_voc
+    from odc_tpu.models import YOLOv2
+    from odc_tpu.train import Trainer
+
+    make_synthetic_voc(str(tmp_path), num_train=4, num_val=2)
+    ds = VOC(dataset_dir=str(tmp_path))
+    cfg = TRAIN_CONFIG["YOLOv2"]["VOC2012"]
+    bad = DetectionPipeline(
+        ds.train_dataset, image_hw=(64, 64), batch_size=3,
+        drop_remainder=False, prefetch=0,
+    )
+    val = DetectionPipeline(
+        ds.val_dataset, image_hw=(64, 64), batch_size=3,
+        drop_remainder=False, prefetch=0,
+    )
+    with pytest.raises(ValueError, match="drop_remainder"):
+        Trainer(YOLOv2(), bad, val, cfg, ckpt_path=str(tmp_path / "ck"))
