@@ -1,0 +1,40 @@
+"""The driver parses bench.py's single JSON line — pin its schema without
+needing the TPU (measurement is stubbed)."""
+
+import json
+
+import bench
+
+
+def test_bench_json_contract(monkeypatch):
+    fake = iter([2800.0, 3000.0])  # bf16 measured first, then int8
+
+    monkeypatch.setattr(bench, "_measure", lambda *a, **k: next(fake))
+    res = bench.run(batch_sizes=(2,))
+    line = json.dumps(res)  # must be JSON-serializable
+    assert set(res) >= {
+        "metric", "value", "unit", "vs_baseline", "batch_size",
+        "precision", "bf16_value", "int8_neck_value", "device",
+    }
+    assert res["unit"] == "images/sec/chip"
+    assert res["value"] == 3000.0 and res["bf16_value"] == 2800.0
+    assert res["int8_neck_value"] == 3000.0
+    assert res["precision"].startswith("bf16 + int8")
+    assert abs(res["vs_baseline"] - 0.6) < 1e-9
+    assert "\n" not in line
+
+
+def test_bench_int8_failure_falls_back_to_bf16(monkeypatch):
+    calls = []
+
+    def fake_measure(infer, variables, images):
+        calls.append(1)
+        if len(calls) == 2:  # the int8 config (measured second)
+            raise RuntimeError("int8 unavailable")
+        return 2500.0
+
+    monkeypatch.setattr(bench, "_measure", fake_measure)
+    res = bench.run(batch_sizes=(2,))
+    assert res["precision"] == "bf16"
+    assert res["value"] == 2500.0
+    assert res["int8_neck_value"] == 0.0  # failure is visible in the JSON
