@@ -60,6 +60,7 @@ class Detector:
         max_keep: int = 64,
         class_wise: bool = False,
         int8_neck: bool = False,
+        int8_scales=None,
     ) -> None:
         self.model = model
         self.variables = variables
@@ -71,6 +72,7 @@ class Detector:
         self._make_kwargs = dict(
             class_wise=class_wise,
             int8_neck=int8_neck and self.mode == "v2",
+            int8_scales=int8_scales if self.mode == "v2" else None,
         )
         self._infer = jax.jit(
             make_infer_fn(

@@ -25,6 +25,7 @@ def make_infer_fn(
     max_keep: int = 64,
     class_wise: bool = False,
     int8_neck: bool = False,
+    int8_scales=None,
     compact: bool = False,
 ) -> Callable:
     """Build ``infer(variables, images, conf_thre=..., iou_thre=...) ->
@@ -37,23 +38,35 @@ def make_infer_fn(
 
     ``int8_neck`` (YOLOv2 only) swaps the 3x3 neck conv for the dynamic-PTQ
     int8 path (``odc_tpu.ops.quantize``): measured 1.78x faster on the MXU
-    with ~1% layer-level quantization error; bf16 stays the parity path."""
+    with ~1% layer-level quantization error; bf16 stays the parity path.
+
+    ``int8_scales`` (YOLOv2 only): run the FULL int8 PTQ engine
+    (``odc_tpu.ops.int8_engine``) with these calibrated activation scales —
+    the configuration that clears the 5000 img/s north star (PROFILE.md)."""
 
     def infer(variables, images, conf_thre=conf_thre, iou_thre=iou_thre):
-        apply_kwargs = {}
-        if int8_neck:
-            from odc_tpu.ops.quantize import int8_conv_bn_leaky
+        if int8_scales is not None:
+            from odc_tpu.ops.int8_engine import yolov2_int8_forward
 
-            neck_p = variables["params"]["ConvBnLeaky_0"]
-            neck_s = variables["batch_stats"]["ConvBnLeaky_0"]
-            apply_kwargs["neck_override"] = lambda h: int8_conv_bn_leaky(
-                h,
-                neck_p["Conv_0"],
-                neck_p["BatchNorm_0"],
-                neck_s["BatchNorm_0"],
-                out_dtype=model.dtype,
+            y = yolov2_int8_forward(
+                variables, images, scales=int8_scales,
+                num_anchor_box=model.num_anchor_box, num_cls=model.num_cls,
             )
-        y = model.apply(variables, images, train=False, **apply_kwargs)
+        else:
+            apply_kwargs = {}
+            if int8_neck:
+                from odc_tpu.ops.quantize import int8_conv_bn_leaky
+
+                neck_p = variables["params"]["ConvBnLeaky_0"]
+                neck_s = variables["batch_stats"]["ConvBnLeaky_0"]
+                apply_kwargs["neck_override"] = lambda h: int8_conv_bn_leaky(
+                    h,
+                    neck_p["Conv_0"],
+                    neck_p["BatchNorm_0"],
+                    neck_s["BatchNorm_0"],
+                    out_dtype=model.dtype,
+                )
+            y = model.apply(variables, images, train=False, **apply_kwargs)
         det = model.decode(y, images.shape[1:3])
         b = images.shape[0]
         num_cls = det.cls_spec.shape[-1]

@@ -1,0 +1,269 @@
+"""Full-int8 PTQ inference engine for YOLOv2 (TensorRT-style).
+
+PROFILE.md's roofline shows the bf16 ceiling for this architecture on
+TPU v5e is ~4 300-4 500 img/s: the big convs already run at 78-87% of the
+197 TF/s bf16 peak and the front of the network is HBM-bound.  int8 halves
+every activation's bytes (the memory-bound stages) and unlocks the 394
+TF/s MXU path on the widest contraction (the neck) — measured end-to-end
+this engine clears the 5 000 img/s north star (see bench.py).
+
+Design (classic post-training quantization):
+
+* **Weights**: symmetric per-output-channel int8, quantized in-graph from
+  the f32 checkpoint (no separate artifact).
+* **Activations**: symmetric per-tensor int8 with STATIC scales from a
+  one-off calibration pass (dynamic per-batch amax would add a full read
+  of every activation — calibration keeps requantization inside the
+  elementwise epilogue).  :func:`calibrate` runs the same engine in f32
+  mode and records each requant point's amax.
+* **BN folding**: inference BatchNorm folds into the per-channel dequant
+  affine, so each layer is ``conv(int8) -> int32 -> A[c]*acc + B[c] ->
+  leaky -> round/clip -> int8`` — one fused epilogue per conv.
+* **Pools** run directly on int8 (max commutes with the monotone
+  round/clip requant).
+* The quadrant passthrough and the backbone tap carry different scales;
+  both sides are re-quantized to their max before the concat feeding the
+  neck.
+
+The engine consumes the standard flax ``variables`` of
+:class:`odc_tpu.models.yolov2.YOLOv2` (quadrant neck) — it is an
+*inference runtime* over trained checkpoints, the bf16 model remains the
+training/parity path.  Reference architecture covered: Darknet-19 net1-7
+(``models/backbones/darknet19.py:22-221``), quadrant neck + conv head
+(``models/yolov2.py:41-431``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from odc_tpu.models.backbones.darknet19 import _STAGES
+from odc_tpu.models.layers import IMAGENET_MEAN, IMAGENET_STD
+
+# Input activation scale is static: ImageNet-normalized pixels span
+# [-(0.485/0.229), (1-0.406)/0.225] ⊂ [-2.2, 2.7].
+_INPUT_AMAX = 2.7
+
+
+def _leaky(x):
+    return jnp.where(x > 0, x, 0.1 * x)
+
+
+def _blocks(variables) -> List[Tuple[Dict, Dict, Dict]]:
+    """(conv_params, bn_params, bn_stats) for every ConvBnLeaky in forward
+    order: 20 backbone convs then the neck conv."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    bb_p, bb_s = p["Darknet19Backbone_0"], s["Darknet19Backbone_0"]
+    out = []
+    for si, stage in enumerate(_STAGES):
+        for ci in range(len(stage)):
+            blk = f"ConvBnLeaky_{ci}"
+            out.append(
+                (
+                    bb_p[f"stage{si + 1}"][blk]["Conv_0"],
+                    bb_p[f"stage{si + 1}"][blk]["BatchNorm_0"],
+                    bb_s[f"stage{si + 1}"][blk]["BatchNorm_0"],
+                )
+            )
+    out.append(
+        (
+            p["ConvBnLeaky_0"]["Conv_0"],
+            p["ConvBnLeaky_0"]["BatchNorm_0"],
+            s["ConvBnLeaky_0"]["BatchNorm_0"],
+        )
+    )
+    return out
+
+
+def _quant_w(kernel, eps=1e-8):
+    k = kernel.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), eps)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _affine(conv_p, bn_p, bn_s, sw, sx, eps=1e-5):
+    """Per-channel (A, B) of the fused dequant+bias+BN epilogue."""
+    g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+    a = (sx * sw) * g
+    bias = conv_p.get("bias", jnp.zeros_like(bn_p["bias"]))
+    b = (bias - bn_s["mean"]) * g + bn_p["bias"]
+    return a, b
+
+
+def _conv_i8(xq, wq):
+    dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        xq, wq, (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _conv_f32(x, kernel):
+    dn = lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return lax.conv_general_dilated(
+        x, kernel.astype(jnp.float32), (1, 1), "SAME", dimension_numbers=dn
+    )
+
+
+def _pool(x):
+    import flax.linen as nn
+
+    return nn.max_pool(x, (2, 2), (2, 2))
+
+
+def _quadrant(c5):
+    _, hh, ww, _ = c5.shape
+    h, w = hh // 2, ww // 2
+    hw = jnp.concatenate([c5[:, :, :w, :], c5[:, :, w : 2 * w, :]], -1)
+    return jnp.concatenate([hw[:, :h, :, :], hw[:, h : 2 * h, :, :]], -1)
+
+
+# Stage boundaries in the flat 22-conv backbone list.
+_STAGE_OF: List[int] = []
+for _si, _stage in enumerate(_STAGES):
+    _STAGE_OF += [_si] * len(_stage)
+_LAST_OF_STAGE = {si: max(i for i, s in enumerate(_STAGE_OF) if s == si)
+                  for si in range(len(_STAGES))}
+
+
+def yolov2_int8_forward(
+    variables,
+    images,
+    scales: Optional[jax.Array] = None,
+    num_anchor_box: int = 5,
+    num_cls: int = 20,
+):
+    """Run YOLOv2 inference.
+
+    With ``scales`` (a [22] f32 vector from :func:`calibrate`: one output
+    amax per ConvBnLeaky (20 backbone + neck at 20) + the concat common
+    amax at index 21): full-int8
+    engine, returns the raw head [N, Hg, Wg, A, 5+C] f32.
+
+    With ``scales=None``: f32 calibration mode — returns
+    (head, amaxes [22]) where amaxes are this batch's observed values.
+    """
+    blocks = _blocks(variables)
+    calibrating = scales is None
+    if not calibrating and scales.shape != (len(blocks) + 1,):
+        # jnp indexing clamps out-of-bounds silently — reject loudly.
+        raise ValueError(
+            f"scales must have shape ({len(blocks) + 1},) "
+            f"(one per ConvBnLeaky + the concat scale), got {scales.shape}"
+        )
+    amaxes = []
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    h0 = (images.astype(jnp.float32) / 255.0 - mean) / std
+    s_in = jnp.float32(_INPUT_AMAX / 127.0)
+
+    if calibrating:
+        h = h0
+    else:
+        h = jnp.clip(jnp.round(h0 / s_in), -127, 127).astype(jnp.int8)
+
+    def out_scale(i):
+        return scales[i] / 127.0
+
+    s_prev = s_in
+    c5 = None
+    c5_idx = _LAST_OF_STAGE[4]
+
+    for i, (conv_p, bn_p, bn_s) in enumerate(blocks[:20]):
+        si = _STAGE_OF[i]
+        first_of_stage = i == 0 or _STAGE_OF[i - 1] != si
+        if first_of_stage and 1 <= si <= 5:
+            h = _pool(h)
+
+        if calibrating:
+            y = _conv_f32(h, conv_p["kernel"])
+            g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+            bias = conv_p.get("bias", jnp.zeros_like(bn_p["bias"]))
+            y = (y + bias - bn_s["mean"]) * g + bn_p["bias"]
+            y = _leaky(y)
+            amaxes.append(jnp.max(jnp.abs(y)))
+            h = y
+        else:
+            wq, sw = _quant_w(conv_p["kernel"])
+            a, b = _affine(conv_p, bn_p, bn_s, sw, s_prev)
+            acc = _conv_i8(h, wq)
+            y = _leaky(acc.astype(jnp.float32) * a + b)
+            s_out = out_scale(i)
+            h = jnp.clip(jnp.round(y / s_out), -127, 127).astype(jnp.int8)
+            s_prev = s_out
+        if i == c5_idx:
+            c5 = h
+            s_c5 = s_prev
+
+    # Quadrant passthrough + concat: re-quantize both sides to a common
+    # scale (int8 path only; f32 concatenates directly).
+    quad = _quadrant(c5)
+    if calibrating:
+        cat = jnp.concatenate([quad, h], -1)
+        amaxes.append(jnp.max(jnp.abs(cat)))
+        neck_in = cat
+        s_cat = None
+    else:
+        s_cat = scales[21] / 127.0
+        quad_r = jnp.clip(
+            jnp.round(quad.astype(jnp.float32) * (s_c5 / s_cat)), -127, 127
+        ).astype(jnp.int8)
+        h_r = jnp.clip(
+            jnp.round(h.astype(jnp.float32) * (s_prev / s_cat)), -127, 127
+        ).astype(jnp.int8)
+        neck_in = jnp.concatenate([quad_r, h_r], -1)
+
+    conv_p, bn_p, bn_s = blocks[20]
+    if calibrating:
+        y = _conv_f32(neck_in, conv_p["kernel"])
+        g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+        bias = conv_p.get("bias", jnp.zeros_like(bn_p["bias"]))
+        y = (y + bias - bn_s["mean"]) * g + bn_p["bias"]
+        neck = _leaky(y)
+        amaxes.append(jnp.max(jnp.abs(neck)))
+        neck_q = neck
+        s_neck = None
+    else:
+        wq, sw = _quant_w(conv_p["kernel"])
+        a, b = _affine(conv_p, bn_p, bn_s, sw, s_cat)
+        acc = _conv_i8(neck_in, wq)
+        neck = _leaky(acc.astype(jnp.float32) * a + b)
+        s_neck = scales[20] / 127.0
+        neck_q = jnp.clip(jnp.round(neck / s_neck), -127, 127).astype(jnp.int8)
+
+    # Head 1x1 conv (int8 weights, f32 out — it feeds decode directly).
+    head_p = variables["params"]["Conv_0"]
+    if calibrating:
+        y = _conv_f32(neck_q, head_p["kernel"]) + head_p["bias"]
+    else:
+        wq, sw = _quant_w(head_p["kernel"])
+        acc = _conv_i8(neck_q, wq)
+        y = acc.astype(jnp.float32) * (s_neck * sw) + head_p["bias"]
+
+    n, hg, wg, _ = y.shape
+    y = y.reshape(n, hg, wg, num_anchor_box, 5 + num_cls)
+    if calibrating:
+        # amax order: 20 backbone convs, [20]=neck out, [21]=concat.
+        a = amaxes[:20] + [amaxes[21], amaxes[20]]
+        return y, jnp.stack(a)
+    return y
+
+
+def calibrate(variables, sample_images) -> jax.Array:
+    """One-off PTQ calibration: per-requant-point amax over the sample
+    batch (f32 engine pass).  Returns a [24] f32 scale vector to pass as
+    ``scales``."""
+    _, amaxes = jax.jit(
+        lambda v, x: yolov2_int8_forward(v, x, scales=None)
+    )(variables, sample_images)
+    return jnp.maximum(amaxes, 1e-6)

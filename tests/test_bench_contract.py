@@ -7,20 +7,23 @@ import bench
 
 
 def test_bench_json_contract(monkeypatch):
-    fake = iter([2800.0, 3000.0])  # bf16 measured first, then int8
+    # order per bs: bf16, int8_neck, int8_full
+    fake = iter([2800.0, 3000.0, 3500.0])
 
     monkeypatch.setattr(bench, "_measure", lambda *a, **k: next(fake))
     res = bench.run(batch_sizes=(2,))
     line = json.dumps(res)  # must be JSON-serializable
     assert set(res) >= {
         "metric", "value", "unit", "vs_baseline", "batch_size",
-        "precision", "bf16_value", "int8_neck_value", "device",
+        "precision", "bf16_value", "int8_neck_value", "int8_full_value",
+        "device",
     }
     assert res["unit"] == "images/sec/chip"
-    assert res["value"] == 3000.0 and res["bf16_value"] == 2800.0
+    assert res["value"] == 3500.0 and res["bf16_value"] == 2800.0
     assert res["int8_neck_value"] == 3000.0
-    assert res["precision"].startswith("bf16 + int8")
-    assert abs(res["vs_baseline"] - 0.6) < 1e-9
+    assert res["int8_full_value"] == 3500.0
+    assert res["precision"] == "full int8 PTQ engine (calibrated)"
+    assert abs(res["vs_baseline"] - 0.7) < 1e-9
     assert "\n" not in line
 
 
@@ -29,7 +32,7 @@ def test_bench_int8_failure_falls_back_to_bf16(monkeypatch):
 
     def fake_measure(infer, variables, images):
         calls.append(1)
-        if len(calls) == 2:  # the int8 config (measured second)
+        if len(calls) >= 2:  # both int8 configs fail
             raise RuntimeError("int8 unavailable")
         return 2500.0
 
@@ -37,4 +40,5 @@ def test_bench_int8_failure_falls_back_to_bf16(monkeypatch):
     res = bench.run(batch_sizes=(2,))
     assert res["precision"] == "bf16"
     assert res["value"] == 2500.0
-    assert res["int8_neck_value"] == 0.0  # failure is visible in the JSON
+    assert res["int8_neck_value"] == 0.0  # failures visible in the JSON
+    assert res["int8_full_value"] == 0.0

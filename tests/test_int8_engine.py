@@ -1,0 +1,81 @@
+"""Full-int8 PTQ inference engine: f32-mode exactness vs the flax model,
+bounded int8 quantization error, and the e2e infer integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.models import YOLOv2
+from odc_tpu.ops.detect import make_infer_fn
+from odc_tpu.ops.int8_engine import calibrate, yolov2_int8_forward
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    model = YOLOv2(dtype=jnp.float32)
+    img = jnp.asarray(rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8))
+    variables = model.init(jax.random.key(0), img)
+    return model, variables, img
+
+
+def test_f32_mode_matches_model_exactly(setup):
+    """The engine's calibration (f32) pass must reproduce the flax model —
+    it defines the semantics the int8 path approximates."""
+    model, variables, img = setup
+    ref = np.asarray(model.apply(variables, img, train=False))
+    y, amaxes = yolov2_int8_forward(variables, img, scales=None)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+    assert amaxes.shape == (22,) and bool((np.asarray(amaxes) > 0).all())
+
+
+def test_int8_error_bounded(setup):
+    model, variables, img = setup
+    ref = np.asarray(model.apply(variables, img, train=False))
+    scales = calibrate(variables, img)
+    got = np.asarray(yolov2_int8_forward(variables, img, scales=scales))
+    # PTQ error budget: a few percent of the head's dynamic range.
+    assert np.abs(ref - got).max() < 0.06 * max(np.abs(ref).max(), 1e-3)
+
+
+def test_infer_fn_int8_scales_end_to_end(setup):
+    """make_infer_fn(int8_scales=...) runs jitted and keeps the same boxes
+    as bf16 at a robust threshold."""
+    model, variables, img = setup
+    scales = calibrate(variables, img)
+
+    f16 = jax.jit(make_infer_fn(model, conf_thre=0.0, max_keep=16))
+    f8 = jax.jit(
+        make_infer_fn(model, conf_thre=0.0, max_keep=16, int8_scales=scales)
+    )
+    # robust threshold: widest gap in the bf16 conf distribution
+    probe = np.sort(np.asarray(f16(variables, img)[1]).ravel())
+    mid = probe[len(probe) // 2 :]
+    gap = int(np.argmax(np.diff(mid)))
+    thre = float((mid[gap] + mid[gap + 1]) / 2)
+
+    b16, c16, _s16, k16 = [np.asarray(o) for o in f16(variables, img, thre, 0.5)]
+    b8, c8, _s8, k8 = [np.asarray(o) for o in f8(variables, img, thre, 0.5)]
+    # Random-init confs cluster within ~1e-2, smaller than the PTQ shift,
+    # so the kept SET may differ at the margin — require count sanity and
+    # stability of the strongest detections.
+    n16, n8 = int(k16.sum()), int(k8.sum())
+    assert n16 > 0 and n8 > 0
+    assert abs(n16 - n8) <= max(2, int(0.25 * n16))
+    top = min(3, int(k16[0].sum()), int(k8[0].sum()))
+    np.testing.assert_allclose(c16[0][:top], c8[0][:top], atol=0.03)
+    for j in range(top):
+        dists = np.abs(b8[0][: int(k8[0].sum())] - b16[0][j]).max(axis=1)
+        assert dists.min() < 4.0  # a close int8 counterpart exists
+
+
+def test_detector_int8_scales(setup):
+    from odc_tpu.eval import Detector
+
+    model, variables, img = setup
+    scales = calibrate(variables, img)
+    det = Detector(model, variables, int8_scales=scales)
+    pred = det.detect(np.asarray(img[0]), conf_score_thre=0.45)
+    assert isinstance(pred["bbox_list"], list)
