@@ -28,7 +28,7 @@ def test_f32_mode_matches_model_exactly(setup):
     ref = np.asarray(model.apply(variables, img, train=False))
     y, amaxes = yolov2_int8_forward(variables, img, scales=None)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
-    assert amaxes.shape == (22,) and bool((np.asarray(amaxes) > 0).all())
+    assert amaxes.shape == (22, 2) and bool((np.asarray(amaxes) >= 0).all())
 
 
 def test_int8_error_bounded(setup):
