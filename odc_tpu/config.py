@@ -68,6 +68,13 @@ class TrainConfig:
     # operator-precedence bug (SURVEY.md note D).  "reference" reproduces
     # that; "every10" implements the intended every-10-epochs behavior.
     multiscale_policy: str = "reference"
+    # Epoch val-loss semantics.  "per_image" reproduces the reference's
+    # bs=1 validation exactly (each image's masked means divide by its own
+    # box count, epoch loss = mean over images — train.py:68-71 +
+    # models/yolov1.py:1113-1122); "batched" divides by batch-global
+    # counts (weights images by box count — cheaper, non-reference).
+    # Best-checkpoint selection keys off this number (yolov1.py:1145-1152).
+    val_loss_mode: str = "per_image"
     seed: int = 0
 
 

@@ -70,24 +70,16 @@ def _safe_mean(x, mask, denom):
     return jnp.sum(x * mask) / jnp.maximum(denom, 1.0)
 
 
-def yolo_loss(
+def _per_box_terms(
     det: Detections,
     targets: YoloTargets,
-    lambdas: Lambdas = Lambdas(),
-    mode: str = "v2",
-    anchors: Optional[Tuple[Tuple[float, float], ...]] = None,
-) -> Tuple[jax.Array, LossParts]:
-    """Compute the λ-weighted five-part loss.
-
-    Args:
-        det: decoded predictions for the image batch.
-        targets: compact padded targets from :mod:`odc_tpu.ops.assign`.
-        lambdas: loss weights.
-        mode: "v1" or "v2" (wh space + cls masking differ, see module doc).
-        anchors: required for mode="v2" — (w, h) priors in grid units.
-    """
+    mode: str,
+    anchors,
+):
+    """Per-box squared-error terms shared by the batched and per-image
+    reductions: (sq_xy, sq_wh, sq_conf, noobj_sum, sq_cls, valid,
+    grid_slots), each term [B, M]."""
     b, hg, wg, a = det.conf.shape
-    m = targets.valid.shape[1]
     grid_slots = hg * wg * a
 
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1] -> bcast [B, M]
@@ -116,12 +108,8 @@ def yolo_loss(
     conf_r = take_resp(conf_p[..., None]).squeeze(-1)  # [B, M]
     iou_r = take_resp(iou_cell[..., None]).squeeze(-1)  # [B, M]
 
-    valid = targets.valid.astype(jnp.float32)  # [B, M]
-    num_boxes = jnp.sum(valid)
-
     # xy ------------------------------------------------------------------
     sq_xy = jnp.sum((targets.sig_txty - sig_txty_r) ** 2, axis=-1)
-    loss_xy = _safe_mean(sq_xy, valid, 2.0 * num_boxes)
 
     # wh (sqrt space) ------------------------------------------------------
     if mode == "v1":
@@ -135,16 +123,14 @@ def yolo_loss(
         wh_tgt = jnp.sqrt(targets.twth / pwph_r)
         wh_pred = jnp.sqrt(twth_r)             # pred already exp(twth)
     sq_wh = jnp.sum((wh_tgt - wh_pred) ** 2, axis=-1)
-    loss_wh = _safe_mean(sq_wh, valid, 2.0 * num_boxes)
 
     # conf (target = IoU) --------------------------------------------------
-    loss_conf = _safe_mean((iou_r - conf_r) ** 2, valid, num_boxes)
+    sq_conf = (iou_r - conf_r) ** 2
 
-    # noobj ----------------------------------------------------------------
+    # noobj: for box b in image i the reference's per-box map holds image
+    # i's full conf grid minus b's one responsible slot ------------------
     conf_sq_sum = jnp.sum(det.conf**2, axis=(1, 2, 3))  # [B]
-    per_box_sum = conf_sq_sum[:, None] - conf_r**2  # [B, M]
-    noobj_count = num_boxes * (grid_slots - 1)
-    loss_noobj = _safe_mean(per_box_sum, valid, noobj_count)
+    noobj_sum = conf_sq_sum[:, None] - conf_r**2  # [B, M]
 
     # cls ------------------------------------------------------------------
     num_cls = det.cls_prob.shape[-1]
@@ -156,6 +142,36 @@ def yolo_loss(
         cls_all = _gather_cells(det.cls_prob, batch_idx, cy, cx)  # [B, M, A, C]
         cls_p = take_resp(cls_all)  # [B, M, C]
     sq_cls = jnp.sum((onehot - cls_p) ** 2, axis=-1)
+
+    valid = targets.valid.astype(jnp.float32)  # [B, M]
+    return sq_xy, sq_wh, sq_conf, noobj_sum, sq_cls, valid, grid_slots
+
+
+def yolo_loss(
+    det: Detections,
+    targets: YoloTargets,
+    lambdas: Lambdas = Lambdas(),
+    mode: str = "v2",
+    anchors: Optional[Tuple[Tuple[float, float], ...]] = None,
+) -> Tuple[jax.Array, LossParts]:
+    """Compute the λ-weighted five-part loss.
+
+    Args:
+        det: decoded predictions for the image batch.
+        targets: compact padded targets from :mod:`odc_tpu.ops.assign`.
+        lambdas: loss weights.
+        mode: "v1" or "v2" (wh space + cls masking differ, see module doc).
+        anchors: required for mode="v2" — (w, h) priors in grid units.
+    """
+    sq_xy, sq_wh, sq_conf, noobj_sum, sq_cls, valid, grid_slots = (
+        _per_box_terms(det, targets, mode, anchors)
+    )
+    num_boxes = jnp.sum(valid)
+
+    loss_xy = _safe_mean(sq_xy, valid, 2.0 * num_boxes)
+    loss_wh = _safe_mean(sq_wh, valid, 2.0 * num_boxes)
+    loss_conf = _safe_mean(sq_conf, valid, num_boxes)
+    loss_noobj = _safe_mean(noobj_sum, valid, num_boxes * (grid_slots - 1))
     loss_cls = _safe_mean(sq_cls, valid, num_boxes)
 
     parts = LossParts(loss_xy, loss_wh, loss_conf, loss_noobj, loss_cls)
@@ -167,6 +183,50 @@ def yolo_loss(
         + lambdas.lambda_cls * loss_cls
     )
     return total, parts
+
+
+def yolo_loss_per_image(
+    det: Detections,
+    targets: YoloTargets,
+    lambdas: Lambdas = Lambdas(),
+    mode: str = "v2",
+    anchors: Optional[Tuple[Tuple[float, float], ...]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-image losses — the reference's VAL semantics, batched.
+
+    The reference validates at bs=1 (``train.py:68-71``) so its epoch val
+    loss is the mean over per-IMAGE losses where every masked mean divides
+    by that image's own counts (``models/yolov1.py:1113-1122`` +
+    ``get_loss``).  A batched loss with batch-global denominators weights
+    images by box count instead; this variant reproduces the reference
+    exactly: each image's five parts divide by its own box count m_i,
+    so ``mean(losses[has_box])`` over the epoch equals the reference's
+    bs=1 val number to float tolerance.
+
+    Returns:
+        (losses [B], has_box [B] bool).  Images with no valid boxes (e.g.
+        padded tail rows) get loss 0 and has_box False — the reference
+        would NaN on them (mean of an empty ``masked_select``); VOC images
+        always carry a box so the case never arises in-contract.
+    """
+    sq_xy, sq_wh, sq_conf, noobj_sum, sq_cls, valid, grid_slots = (
+        _per_box_terms(det, targets, mode, anchors)
+    )
+    m_i = jnp.sum(valid, axis=1)  # [B]
+    denom = jnp.maximum(m_i, 1.0)
+
+    def mean_i(x, scale=1.0):
+        return jnp.sum(x * valid, axis=1) / (denom * scale)
+
+    loss_i = (
+        lambdas.lambda_xy * mean_i(sq_xy, 2.0)
+        + lambdas.lambda_wh * mean_i(sq_wh, 2.0)
+        + lambdas.lambda_conf * mean_i(sq_conf)
+        + lambdas.lambda_noobj * mean_i(noobj_sum, float(grid_slots - 1))
+        + lambdas.lambda_cls * mean_i(sq_cls)
+    )
+    has_box = m_i > 0
+    return jnp.where(has_box, loss_i, 0.0), has_box
 
 
 def yolo_loss_paper(

@@ -70,7 +70,9 @@ def convert_state_dict(state_dict: Dict[str, "np.ndarray"], variables):
     import jax
 
     def npy(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+        # copy: .numpy() aliases torch storage, and in-place torch updates
+        # (opt.step()) must not mutate the converted tree.
+        return np.array(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
     new = jax.tree.map(lambda x: x, variables)  # fresh containers
 

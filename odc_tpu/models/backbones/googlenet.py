@@ -32,7 +32,11 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from odc_tpu.models.layers import imagenet_normalize, max_pool_3x3_ceil
+from odc_tpu.models.layers import (
+    TorchBatchNorm,
+    imagenet_normalize,
+    max_pool_3x3_ceil,
+)
 
 
 class BasicConv2d(nn.Module):
@@ -56,12 +60,11 @@ class BasicConv2d(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-3,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
+            name="BatchNorm_0",  # keep flax auto-name: ckpt/converter compat
         )(x)
         return nn.relu(x).astype(self.dtype)
 

@@ -34,7 +34,9 @@ def _conv_bn_pairs(seq) -> List[Tuple[object, object]]:
 
 
 def _np(t) -> np.ndarray:
-    return t.detach().cpu().numpy()
+    # .numpy() aliases the torch storage — copy, so in-place torch updates
+    # (e.g. a later opt.step()) can't silently mutate the converted tree.
+    return t.detach().cpu().numpy().copy()
 
 
 def _fill_block(params: Dict, stats: Dict, conv, bn) -> None:

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # ImageNet statistics used by every reference backbone's in-model normalize
@@ -32,6 +33,66 @@ def imagenet_normalize(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
     x = (x.astype(jnp.float32) / 255.0 - mean) / std
     return x.astype(dtype)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch ``BatchNorm2d`` running-stat semantics.
+
+    Identical to ``flax.linen.BatchNorm`` (same param/stat names, so
+    checkpoints and the torch converters are unaffected) except for one
+    detail that flax gets differently: torch updates ``running_var`` with
+    the **unbiased** batch variance (``n/(n-1)`` correction) while
+    normalizing with the biased one.  flax uses the biased variance for
+    both, which makes multi-step training drift away from a torch model
+    sharing the same weights — this module reproduces torch exactly so the
+    training-dynamics parity suite can compare running stats bitwise-ish
+    (see ``tests/test_train_parity.py``; reference models all go through
+    ``torch.nn.BatchNorm2d``, e.g. ``models/backbones/darknet19.py:23``).
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9  # decay; torch momentum = 1 - decay
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (feat,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (feat,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for ax in axes:
+                    n *= x.shape[ax]
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * var * bessel
+                )
+
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
 
 
 class ConvBnLeaky(nn.Module):
@@ -56,12 +117,11 @@ class ConvBnLeaky(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch BatchNorm2d momentum=0.1 <=> decay 0.9
             epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
+            name="BatchNorm_0",  # keep flax auto-name: ckpt/converter compat
         )(x)
         return nn.leaky_relu(x, self.negative_slope).astype(self.dtype)
 

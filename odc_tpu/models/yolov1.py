@@ -32,6 +32,11 @@ class YOLOv1(nn.Module):
     # Framework-level defaults mirroring the reference surface.
     image_size: Tuple[int, int] = (224, 224)
 
+    # Reference head dropout (``models/yolov1.py:84``).  Configurable so
+    # deterministic parity tests can disable it (dropout RNG streams can't
+    # be matched across frameworks).
+    dropout_rate: float = 0.5
+
     # Reference legacy-draft variant (``models/yolov1 temp.py:52-70``, dead
     # code there, kept for capability parity): the whole head output goes
     # through ONE sigmoid, so ``decode`` consumes it pre-activated
@@ -53,7 +58,7 @@ class YOLOv1(nn.Module):
         h = h.reshape(n, -1)
         h = nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = nn.relu(h)
-        h = nn.Dropout(rate=0.5, deterministic=not train)(h)
+        h = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(h)
         y = nn.Dense(
             hg * wg * out_dim, dtype=self.dtype, param_dtype=jnp.float32
         )(h)

@@ -156,14 +156,34 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, mode: str, lambdas: Lambdas, anchors=None) -> Callable:
+def make_eval_step(
+    model,
+    mode: str,
+    lambdas: Lambdas,
+    anchors=None,
+    val_loss_mode: str = "per_image",
+) -> Callable:
+    """Build the jitted val step.
+
+    ``val_loss_mode="per_image"`` returns ``(loss_sum, image_count)`` with
+    reference-exact bs=1 semantics (per-image denominators, see
+    :func:`odc_tpu.losses.yolo_loss.yolo_loss_per_image`); ``"batched"``
+    returns the batch-global masked-mean loss (one scalar)."""
+    from odc_tpu.losses.yolo_loss import yolo_loss_per_image
+
     @jax.jit
     def eval_step(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         y = model.apply(variables, batch.image, train=False)
         det = model.decode(y, batch.image.shape[1:3])
+        targets = _targets_of(batch)
+        if val_loss_mode == "per_image":
+            losses, has_box = yolo_loss_per_image(
+                det, targets, lambdas, mode=mode, anchors=anchors
+            )
+            return jnp.sum(losses), jnp.sum(has_box.astype(jnp.float32))
         total, _ = yolo_loss(
-            det, _targets_of(batch), lambdas, mode=mode, anchors=anchors
+            det, targets, lambdas, mode=mode, anchors=anchors
         )
         return total
 
@@ -218,8 +238,10 @@ class Trainer:
             augment_cfg=augment_cfg,
         )
         self.eval_step = make_eval_step(
-            model, self.mode, self.lambdas, self.anchors
+            model, self.mode, self.lambdas, self.anchors,
+            val_loss_mode=getattr(config, "val_loss_mode", "per_image"),
         )
+        self.val_loss_mode = getattr(config, "val_loss_mode", "per_image")
         self.mesh = mesh
         os.makedirs(ckpt_path, exist_ok=True)
         self.logger = JsonlLogger(os.path.join(ckpt_path, "metrics.jsonl"))
@@ -265,16 +287,28 @@ class Trainer:
 
         losses, weights = [], []
         for batch in device_prefetch(self.val_pipeline, mesh=self.mesh):
-            losses.append(self.eval_step(state, batch))
-            # Padded tail rows carry img_id == -1 and no valid boxes; weight
-            # each batch by its real image count so the epoch loss covers
-            # exactly len(val_dataset) images (reference train.py:68-71).
-            weights.append(int(np.sum(np.asarray(batch.img_id) >= 0)))
+            if self.val_loss_mode == "per_image":
+                # Reference-exact: eval_step returns (Σ per-image losses,
+                # #images with boxes); padded tail rows have no boxes and
+                # count zero.  Epoch loss = mean over images, each with its
+                # own denominators (train.py:68-71).
+                s, n = self.eval_step(state, batch)
+                losses.append(s)
+                weights.append(n)
+            else:
+                losses.append(self.eval_step(state, batch))
+                # Padded tail rows carry img_id == -1 and no valid boxes;
+                # weight each batch by its real image count so the epoch
+                # loss covers exactly len(val_dataset) images.
+                weights.append(int(np.sum(np.asarray(batch.img_id) >= 0)))
         if not losses:
             return 0.0
         losses = np.asarray([float(x) for x in losses])
-        weights = np.asarray(weights, np.float64)
-        val = float((losses * weights).sum() / max(weights.sum(), 1.0))
+        weights = np.asarray([float(x) for x in weights], np.float64)
+        if self.val_loss_mode == "per_image":
+            val = float(losses.sum() / max(weights.sum(), 1.0))
+        else:
+            val = float((losses * weights).sum() / max(weights.sum(), 1.0))
         self.logger.write(kind="val_epoch", epoch=epoch, loss=val)
         return val
 
