@@ -164,20 +164,37 @@ class DetectionPipeline:
         whole batch off the GIL (``odc_decode_resize_batch``) — the
         resize/rescale math is bitwise-identical to the per-sample path."""
         from odc_tpu.native import loader as native_loader
+        from odc_tpu.data.voc import dataset_supports_raw_paths
 
         h, w = self.image_hw
         fast = (
             self.augment is None
-            and hasattr(self.dataset, "img_path_list")
-            and hasattr(self.dataset, "annot_list")
+            and dataset_supports_raw_paths(self.dataset)
             and native_loader.batch_available()
         )
         if fast:
             paths = [self.dataset.img_path_list[i] for i in indices]
-            imgs, src_hw = native_loader.decode_resize_batch(paths, (h, w))
+            imgs, src_hw, rcs = native_loader.decode_resize_batch(
+                paths, (h, w), return_status=True
+            )
             image_out[: len(indices)] = imgs
+            # A non-JPEG or corrupt file must not abort the epoch: fall back
+            # to the per-sample slow path (PIL decodes other formats) for
+            # just the failed indices.
+            fallback = {}
+            for i in np.flatnonzero(rcs):
+                _img_id, img, fb_boxes, fb_labels = self._load_sample(
+                    int(indices[i])
+                )
+                image_out[i] = img
+                fallback[int(i)] = (fb_boxes, fb_labels)
             out = []
             for i, idx in enumerate(indices):
+                if i in fallback:
+                    # boxes already network-scaled by _load_sample's
+                    # _resize_with_boxes.
+                    out.append(fallback[i])
+                    continue
                 annot = self.dataset.annot_list[idx]
                 boxes = np.asarray(
                     annot["bbox_list"], np.float64

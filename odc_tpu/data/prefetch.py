@@ -94,6 +94,16 @@ def threaded_prefetch(make_items, maxsize: int = 2) -> Iterator:
         stop.set()
         t.join(timeout=10.0)
         # re-raise a worker error only when the consumer isn't already
-        # propagating its own exception
-        if errbox and sys.exc_info()[0] is None:
-            raise errbox[0]
+        # propagating its own exception (incl. GeneratorExit from an early
+        # close) — but never silently drop it: a real loader failure must
+        # leave a trace even when the consumer is unwinding.
+        if errbox:
+            if sys.exc_info()[0] is None:
+                raise errbox[0]
+            import warnings
+
+            warnings.warn(
+                "threaded_prefetch: suppressed worker exception while the "
+                f"consumer was unwinding: {errbox[0]!r}",
+                RuntimeWarning,
+            )

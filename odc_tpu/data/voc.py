@@ -51,12 +51,17 @@ _SPLITS = {
 
 
 def _decode_jpeg(path: str) -> np.ndarray:
-    """JPEG -> RGB uint8 HWC.  Native libjpeg path when available, PIL
-    otherwise."""
+    """JPEG -> RGB uint8 HWC.  Native libjpeg path when available; PIL
+    otherwise, and also as the fallback for files the native decoder
+    rejects (non-JPEG or corrupt), so one odd file degrades gracefully
+    instead of aborting an epoch."""
     from odc_tpu.native import loader as native_loader
 
     if native_loader.available():
-        return native_loader.decode_jpeg(path)
+        try:
+            return native_loader.decode_jpeg(path)
+        except IOError:
+            pass
     from PIL import Image
 
     with Image.open(path) as im:
@@ -147,8 +152,28 @@ class VOC:
         )
 
 
+def dataset_supports_raw_paths(dataset) -> bool:
+    """True iff the batch loaders may bypass ``__getitem__`` and read
+    ``img_path_list``/``annot_list`` directly (the C++ fast path).
+
+    Opt-in by declaring ``supports_raw_paths = True`` on the class.  A
+    subclass that overrides ``__getitem__`` (filtering, transforms) without
+    re-declaring the flag is automatically excluded: the MRO walk stops at
+    the first class that defines ``__getitem__`` below any flag
+    declaration."""
+    for klass in type(dataset).__mro__:
+        flag = vars(klass).get("supports_raw_paths")
+        if flag is not None:
+            return bool(flag)
+        if "__getitem__" in vars(klass):
+            return False
+    return False
+
+
 class VOCDataset:
     """Per-sample access: (index, RGB uint8 HWC, annot)."""
+
+    supports_raw_paths = True  # __getitem__ only decodes img_path_list[i]
 
     def __init__(self, img_path_list: Sequence[str], annot_list: Sequence[dict]):
         self.img_path_list = list(img_path_list)

@@ -215,13 +215,13 @@ def evaluate_batched(
     else per-sample) runs on a prefetch thread, overlapped with the
     device's inference on the previous batch (BASELINE config 5)."""
     from odc_tpu.native import loader as native_loader
+    from odc_tpu.data.voc import dataset_supports_raw_paths
 
     acc = APAccumulator(detector.cls_list, levels, dedup=dedup)
     n = len(dataset)
     h, w = image_hw
     fast = (
-        hasattr(dataset, "img_path_list")
-        and hasattr(dataset, "annot_list")
+        dataset_supports_raw_paths(dataset)
         and native_loader.batch_available()
     )
 

@@ -144,14 +144,17 @@ def batch_available() -> bool:
 
 
 def decode_resize_batch(
-    paths, out_hw: Tuple[int, int], n_threads: int = 0
-) -> Tuple[np.ndarray, np.ndarray]:
+    paths, out_hw: Tuple[int, int], n_threads: int = 0,
+    return_status: bool = False,
+):
     """N JPEG files -> ([N, out_h, out_w, 3] RGB uint8, [N, 2] original
     (h, w)) via the C++ thread pool (``n_threads=0``: hardware threads).
 
     The production input path the reference lacks (its DataLoader runs
     ``num_workers=0``, train.py:64-71): every decode runs off the GIL.
-    Raises on the first failed image."""
+    Raises on the first failed image unless ``return_status``, which
+    instead appends the per-image rc vector (0 = ok) so callers can
+    degrade gracefully on undecodable files."""
     lib = _load()
     assert lib is not None and hasattr(lib, "odc_decode_resize_batch")
     n = len(paths)
@@ -168,6 +171,8 @@ def decode_resize_batch(
         rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads,
     )
+    if return_status:
+        return out, src_hw, rcs
     if failed:
         bad = int(np.flatnonzero(rcs)[0])
         raise IOError(

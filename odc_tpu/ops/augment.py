@@ -27,6 +27,13 @@ SURVEY.md §7 hard-part 4):
 * HueSaturationValue uses OpenCV conventions: hue shift ±20 in OpenCV's
   0-179 half-degree units (= ±40°), saturation/value shifts ±30/±20 in
   uint8 units.
+* the default geometric backend is the gather-free TWO-PASS warp
+  (``odc_tpu.ops.warp``): TPU gathers run near-scalar (the one-shot
+  4-tap warp measured 825 ms/batch, PROFILE.md), while rolls + hat-matrix
+  matmuls are native.  Axis-aligned transforms are bitwise-identical to
+  one-shot bilinear; rotations interpolate once per pass — the same
+  behavior class as the reference's albumentations cascade, which itself
+  resamples once per enabled transform (up to 3x per image).
 """
 
 from __future__ import annotations
@@ -107,33 +114,25 @@ def _sample_affine(key, cfg: AugmentConfig, hw):
     return m
 
 
-def _warp_image(img, m_inv, hw):
-    """Bilinear warp with zero fill: out(x) = in(m_inv @ x)."""
-    h, w = hw
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    sx = m_inv[0, 0] * xs + m_inv[0, 1] * ys + m_inv[0, 2]
-    sy = m_inv[1, 0] * xs + m_inv[1, 1] * ys + m_inv[1, 2]
+def _warp_images(imgs, m_invs, hw, impl: str):
+    """Batched warp dispatch.  ``impl``:
 
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
+    * ``"twopass"`` (default): gather-free two-pass warp
+      (``odc_tpu.ops.warp``) — rolls/masks/matmuls only; the TPU path.
+    * ``"pallas"``: the same math fused into one VMEM-resident kernel per
+      plane (``odc_tpu.ops.pallas.warp_kernel``); real TPU only.
+    * ``"oneshot"``: direct 4-tap bilinear gather — exact single-resample
+      semantics, but gather-bound on TPU (825 ms/batch, PROFILE.md); for
+      CPU hosts and as the semantic oracle.
+    """
+    from odc_tpu.ops.warp import warp_affine_oneshot, warp_affine_twopass
 
-    def tap(yi, xi):
-        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        v = img[yi_c, xi_c]  # [h, w, 3]
-        return jnp.where(inside[..., None], v, 0.0)
+    if impl == "pallas":
+        from odc_tpu.ops.pallas.warp_kernel import warp_affine_pallas
 
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    top = v00 + (v01 - v00) * fx[..., None]
-    bot = v10 + (v11 - v10) * fx[..., None]
-    return top + (bot - top) * fy[..., None]
+        return warp_affine_pallas(imgs, m_invs)
+    fn = warp_affine_twopass if impl == "twopass" else warp_affine_oneshot
+    return jax.vmap(lambda im, mi: fn(im, mi, hw))(imgs, m_invs)
 
 
 def _warp_boxes(boxes, valid, m, hw):
@@ -219,21 +218,21 @@ def augment_batch(
     boxes: jax.Array,   # [B, M, 4] f32 pixel corners
     valid: jax.Array,   # [B, M] bool
     cfg: AugmentConfig = AugmentConfig(),
+    warp_impl: str = "twopass",
 ):
     """One fused augmentation pass over the batch.  Returns (images uint8,
-    boxes f32, valid)."""
+    boxes f32, valid).  ``warp_impl``: see ``_warp_images``."""
     b, h, w, _ = images.shape
     hw = (h, w)
 
-    def one(k, img, bx, vd):
-        kg, kc = jax.random.split(k)
-        m = _sample_affine(kg, cfg, hw)
-        m_inv = jnp.linalg.inv(m)
-        imgf = img.astype(jnp.float32)
-        imgf = _warp_image(imgf, m_inv, hw)
-        imgf = _color(kc, imgf, cfg)
-        bx, vd = _warp_boxes(bx, vd, m, hw)
-        return jnp.clip(imgf, 0, 255).astype(jnp.uint8), bx, vd
-
     keys = jax.random.split(key, b)
-    return jax.vmap(one)(keys, images, boxes, valid)
+    kg, kc = jnp.moveaxis(jax.vmap(jax.random.split)(keys), 1, 0)
+    ms = jax.vmap(lambda k: _sample_affine(k, cfg, hw))(kg)
+    m_invs = jnp.linalg.inv(ms)
+
+    imgf = _warp_images(images.astype(jnp.float32), m_invs, hw, warp_impl)
+    imgf = jax.vmap(lambda k, im: _color(k, im, cfg))(kc, imgf)
+    out_boxes, out_valid = jax.vmap(
+        lambda bx, vd, m: _warp_boxes(bx, vd, m, hw)
+    )(boxes, valid, ms)
+    return jnp.clip(imgf, 0, 255).astype(jnp.uint8), out_boxes, out_valid

@@ -43,6 +43,16 @@ def make_infer_fn(
     ``int8_scales`` (YOLOv2 only): run the FULL int8 PTQ engine
     (``odc_tpu.ops.int8_engine``) with these calibrated activation scales —
     the configuration that clears the 5000 img/s north star (PROFILE.md)."""
+    if int8_scales is not None or int8_neck:
+        # The int8 paths hardcode the Darknet-19/quadrant YOLOv2 graph; a
+        # space_to_depth model would silently run the quadrant reorg and
+        # produce wrong boxes.
+        if type(model).__name__ != "YOLOv2" or model.neck != "quadrant":
+            raise ValueError(
+                "int8_scales/int8_neck require a YOLOv2 with neck='quadrant' "
+                f"(got {type(model).__name__}, neck="
+                f"{getattr(model, 'neck', None)!r})"
+            )
 
     def infer(variables, images, conf_thre=conf_thre, iou_thre=iou_thre):
         if int8_scales is not None:

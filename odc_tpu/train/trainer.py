@@ -86,6 +86,7 @@ def make_train_step(
     momentum: float = 0.0,
     weight_decay: float = 5e-4,
     augment_cfg=None,
+    augment_warp_impl: str = "twopass",
 ) -> Callable:
     """Build the jitted train step: (state, batch, lr, rng) -> (state, metrics).
 
@@ -93,6 +94,9 @@ def make_train_step(
     (``odc_tpu.ops.augment``) runs inside the step and targets are
     re-assigned on device from the augmented boxes — the full
     pixels-to-gradients path is one XLA program.
+    ``augment_warp_impl``: geometric-warp backend ("twopass" default,
+    "pallas" for the fused VMEM kernel on real TPU, "oneshot" gather
+    oracle — see ``odc_tpu.ops.augment._warp_images``).
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -104,7 +108,8 @@ def make_train_step(
 
             rng, aug_key = jax.random.split(rng)
             image, boxes, valid = augment_batch(
-                aug_key, image, batch.box, batch.valid, augment_cfg
+                aug_key, image, batch.box, batch.valid, augment_cfg,
+                warp_impl=augment_warp_impl,
             )
             targets = assign(
                 boxes, batch.cls, valid, image.shape[1:3], mode=mode

@@ -224,3 +224,88 @@ def test_threaded_prefetch_propagates_worker_error():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(threaded_prefetch(items, maxsize=2))
+
+
+def test_threaded_prefetch_warns_on_suppressed_worker_error():
+    """A worker error racing a consumer close must not vanish silently
+    (advisor finding r2): it is surfaced as a RuntimeWarning."""
+    import warnings
+
+    from odc_tpu.data.prefetch import threaded_prefetch
+
+    def items():
+        yield 1
+        raise RuntimeError("lost boom")
+
+    gen = threaded_prefetch(items, maxsize=2)
+    assert next(gen) == 1
+    import time
+
+    time.sleep(0.3)  # let the worker hit its error before the close
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gen.close()
+    assert any("lost boom" in str(w.message) for w in caught)
+
+
+def test_undecodable_file_falls_back_per_sample(tmp_path):
+    """A non-JPEG file hiding behind a .jpg name must not abort the epoch:
+    the batch fast path retries the failed index through PIL (advisor
+    finding r2)."""
+    from PIL import Image
+
+    from odc_tpu.data.pipeline import DetectionPipeline
+    from odc_tpu.data.voc import VOC, make_synthetic_voc
+
+    make_synthetic_voc(str(tmp_path), num_train=4, num_val=2)
+    voc = VOC(dataset_dir=str(tmp_path))
+    ds = voc.train_dataset
+    # Overwrite one image with a PNG payload (same .jpg path).
+    rogue = np.random.default_rng(0).integers(
+        0, 255, (40, 60, 3), dtype=np.uint8
+    )
+    Image.fromarray(rogue).save(ds.img_path_list[2], format="PNG")
+
+    pipe = DetectionPipeline(
+        ds, image_hw=(64, 64), batch_size=4, mode="v2",
+        shuffle=False, prefetch=0,
+    )
+    (batch,) = list(pipe)
+    assert batch.image.shape == (4, 64, 64, 3)
+    assert batch.image[2].any()  # rogue image decoded, not zero-filled
+    assert (np.asarray(batch.img_id) == np.arange(4)).all()
+
+
+def test_raw_paths_fast_path_respects_getitem_override(tmp_path):
+    """A dataset subclass that overrides item loading must NOT be bypassed
+    by the raw-path batch decoder (advisor finding r2)."""
+    from odc_tpu.data.pipeline import DetectionPipeline
+    from odc_tpu.data.voc import (
+        VOC, VOCDataset, dataset_supports_raw_paths, make_synthetic_voc,
+    )
+
+    make_synthetic_voc(str(tmp_path), num_train=3, num_val=2)
+    base = VOC(dataset_dir=str(tmp_path)).train_dataset
+
+    class ConstantDataset(VOCDataset):
+        def __getitem__(self, index):
+            idx, img, annot = super().__getitem__(index)
+            return idx, np.full_like(img, 7), annot
+
+    assert dataset_supports_raw_paths(base)
+    ds = ConstantDataset(base.img_path_list, base.annot_list)
+    assert not dataset_supports_raw_paths(ds)
+
+    pipe = DetectionPipeline(
+        ds, image_hw=(32, 32), batch_size=3, mode="v2",
+        shuffle=False, prefetch=0,
+    )
+    (batch,) = list(pipe)
+    assert (batch.image == 7).all()  # override honored, fast path skipped
+
+    class OptedBackIn(ConstantDataset):
+        supports_raw_paths = True  # explicit re-declaration re-enables
+
+    assert dataset_supports_raw_paths(
+        OptedBackIn(base.img_path_list, base.annot_list)
+    )
