@@ -13,6 +13,7 @@
 #include <jpeglib.h>
 
 #include <atomic>
+#include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
@@ -85,58 +86,88 @@ int decode_impl(const char* path, uint8_t* out, int expect_h, int expect_w,
   return 0;
 }
 
-// Bilinear resize RGB8 (half-pixel centers, matching the common cv2/PIL
-// INTER_LINEAR convention). Fixed-point 16.16 arithmetic on the inner loop.
+// Bilinear resize RGB8, cv2 INTER_LINEAR scalar-reference semantics:
+// half-pixel centers, 11-bit fixed-point coefficients
+// (INTER_RESIZE_COEF_BITS), separable H-then-V integer passes, final
+// rounding (acc + 2^21) >> 22.  Coefficient rounding is round-half-to-even
+// (nearbyint), matching numpy's rint — the python oracle in
+// tests/test_native.py reimplements this scheme bit-exactly.  (Real cv2
+// SIMD builds use a reduced-precision vertical pass and may differ by
+// <= 1 lsb; the float-convention oracle bounds that.)
+constexpr int kCoefBits = 11;
+constexpr int kCoefScale = 1 << kCoefBits;  // 2048
+
+// Sample position -> (index, 11-bit frac coefficient) with cv2 border
+// rule: pos < 0 snaps to (0, 0); floor(pos) >= n-1 snaps to (n-1, 0).
+inline void coef_for(double pos, int n, int* idx, int* alpha1) {
+  if (pos < 0) pos = 0;
+  int i = static_cast<int>(pos);  // pos >= 0: truncation == floor
+  double frac = pos - i;
+  if (i >= n - 1) {
+    i = n - 1;
+    frac = 0.0;
+  }
+  *idx = i;
+  *alpha1 = static_cast<int>(nearbyint(frac * kCoefScale));
+}
+
 void resize_impl(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
                  int dw) {
   if (sh == dh && sw == dw) {
     std::memcpy(dst, src, static_cast<size_t>(sh) * sw * 3);
     return;
   }
-  const double sy = static_cast<double>(sh) / dh;
-  const double sx = static_cast<double>(sw) / dw;
+  const double scale_y = static_cast<double>(sh) / dh;
+  const double scale_x = static_cast<double>(sw) / dw;
 
-  std::vector<int> x0(dw), x1(dw), fx(dw);
+  std::vector<int> x0(dw), x1(dw), a0(dw), a1(dw);
   for (int x = 0; x < dw; ++x) {
-    double pos = (x + 0.5) * sx - 0.5;
-    if (pos < 0) pos = 0;
-    int ix = static_cast<int>(pos);
-    if (ix > sw - 2) ix = sw - 2 < 0 ? 0 : sw - 2;
-    double frac = pos - ix;
-    if (frac < 0) frac = 0;
-    if (frac > 1) frac = 1;
-    x0[x] = ix;
-    x1[x] = ix + 1 < sw ? ix + 1 : sw - 1;
-    fx[x] = static_cast<int>(frac * 65536.0 + 0.5);
+    int ix, al1;
+    coef_for((x + 0.5) * scale_x - 0.5, sw, &ix, &al1);
+    x0[x] = ix * 3;
+    x1[x] = (ix + 1 < sw ? ix + 1 : sw - 1) * 3;
+    a1[x] = al1;
+    a0[x] = kCoefScale - al1;
   }
 
+  // Horizontal pass cache: rows resampled to dw, int32 (<= 255 * 2048).
+  std::vector<int32_t> hrow0(dw * 3), hrow1(dw * 3);
+  int cached0 = -1, cached1 = -1;
+
+  auto hresize = [&](int sy_idx, std::vector<int32_t>& out) {
+    const uint8_t* r = src + static_cast<size_t>(sy_idx) * sw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int xa = x0[x], xb = x1[x];
+      for (int c = 0; c < 3; ++c) {
+        out[x * 3 + c] = r[xa + c] * a0[x] + r[xb + c] * a1[x];
+      }
+    }
+  };
+
   for (int y = 0; y < dh; ++y) {
-    double pos = (y + 0.5) * sy - 0.5;
-    if (pos < 0) pos = 0;
-    int iy = static_cast<int>(pos);
-    if (iy > sh - 2) iy = sh - 2 < 0 ? 0 : sh - 2;
-    double frac = pos - iy;
-    if (frac < 0) frac = 0;
-    if (frac > 1) frac = 1;
-    const int fy = static_cast<int>(frac * 65536.0 + 0.5);
+    int iy, b1;
+    coef_for((y + 0.5) * scale_y - 0.5, sh, &iy, &b1);
+    const int b0 = kCoefScale - b1;
     const int y1 = iy + 1 < sh ? iy + 1 : sh - 1;
 
-    const uint8_t* r0 = src + static_cast<size_t>(iy) * sw * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
-    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    if (cached0 != iy) {
+      hresize(iy, hrow0);
+      cached0 = iy;
+    }
+    if (cached1 != y1) {
+      hresize(y1, hrow1);
+      cached1 = y1;
+    }
 
-    for (int x = 0; x < dw; ++x) {
-      const int xa = x0[x] * 3;
-      const int xb = x1[x] * 3;
-      const int wx = fx[x];
-      for (int c = 0; c < 3; ++c) {
-        const int top = (r0[xa + c] << 16) + (r0[xb + c] - r0[xa + c]) * wx;
-        const int bot = (r1[xa + c] << 16) + (r1[xb + c] - r1[xa + c]) * wx;
-        const int64_t val =
-            static_cast<int64_t>(top) +
-            ((static_cast<int64_t>(bot - top) * fy) >> 16);
-        drow[x * 3 + c] = static_cast<uint8_t>((val + 32768) >> 16);
-      }
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw * 3; ++x) {
+      const int64_t acc = static_cast<int64_t>(hrow0[x]) * b0 +
+                          static_cast<int64_t>(hrow1[x]) * b1 +
+                          (1 << (2 * kCoefBits - 1));
+      int v = static_cast<int>(acc >> (2 * kCoefBits));
+      if (v < 0) v = 0;
+      if (v > 255) v = 255;
+      drow[x] = static_cast<uint8_t>(v);
     }
   }
 }

@@ -54,9 +54,16 @@ REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 def _install_albumentations_stub():
     """Package-shaped albumentations stub so the reference model modules
-    import (they build TRANSFORM/RESIZE pipelines at module scope).  The stub
-    transforms are identity: parity tests feed pre-sized images, so the
-    reference's ``self.resize`` must be a no-op."""
+    import (they build TRANSFORM/RESIZE pipelines at module scope).
+
+    Augmentation transforms are identity (parity tests control the pixels),
+    but ``Resize`` is REAL: it resizes the image with the cv2-INTER_LINEAR
+    fixed-point scheme (``tests/cv2_resize_oracle.py``, bitwise-equal to the
+    native ``loader.cc`` resize) and linearly rescales pascal_voc bboxes,
+    matching real albumentations ``Resize`` semantics.  This lets the
+    reference's detect/train resize path (``models/yolov1.py:456-461,
+    536-543``) run for real on odd-sized inputs — for pre-sized inputs it
+    degenerates to the old identity behavior."""
     import types
 
     if "albumentations" in sys.modules:
@@ -73,12 +80,41 @@ def _install_albumentations_stub():
         def __call__(self, *, image=None, bboxes=None, labels=None, **k):
             return {"image": image, "bboxes": bboxes, "labels": labels}
 
+    class _Resize(_Identity):
+        def __init__(self, height, width, *a, **k):
+            self.h, self.w = int(height), int(width)
+
+        def __call__(self, *, image=None, bboxes=None, labels=None, **k):
+            from cv2_resize_oracle import resize_inter_linear
+
+            sh, sw = image.shape[:2]
+            out = resize_inter_linear(image, self.h, self.w)
+            if bboxes:
+                fx, fy = self.w / sw, self.h / sh
+                bboxes = [
+                    (b[0] * fx, b[1] * fy, b[2] * fx, b[3] * fy, *b[4:])
+                    for b in bboxes
+                ]
+            return {"image": out, "bboxes": bboxes, "labels": labels}
+
+    class _Compose(_Identity):
+        def __init__(self, transforms, *a, **k):
+            self.transforms = transforms
+
+        def __call__(self, *, image=None, bboxes=None, labels=None, **k):
+            res = {"image": image, "bboxes": bboxes, "labels": labels}
+            for t in self.transforms:
+                res = t(**res)
+            return res
+
     for name in (
-        "Compose", "RandomScale", "Affine", "OneOf", "HorizontalFlip",
-        "VerticalFlip", "ChannelShuffle", "HueSaturationValue", "Resize",
+        "RandomScale", "Affine", "OneOf", "HorizontalFlip",
+        "VerticalFlip", "ChannelShuffle", "HueSaturationValue",
         "BboxParams",
     ):
         setattr(stub, name, _Identity)
+    stub.Resize = _Resize
+    stub.Compose = _Compose
 
     sys.modules["albumentations"] = stub
     sys.modules["albumentations.pytorch"] = types.ModuleType(
