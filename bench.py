@@ -52,7 +52,38 @@ def _measure(infer, variables, images) -> float:
     return images.shape[0] * TIMED_ITERS / dt
 
 
-def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
+def bench_yolov1(batch_sizes=(512, 256, 128), image_size=224) -> dict:
+    """Secondary benchmark: YOLOv1-224 e2e inference (BASELINE.md config 1:
+    the reference's single-image v1 path, here batched).  bf16 only — the
+    int8 PTQ engine is v2-specific (see PROFILE.md 'int8 and YOLOv1' for the
+    roofline argument: v1 serving is FC-weight-bandwidth-bound, and the
+    dominant 205M-param head is already bf16-fetch-limited)."""
+    from odc_tpu.models import YOLOv1
+    from odc_tpu.ops.detect import make_infer_fn
+
+    model = YOLOv1(dtype=jnp.bfloat16)
+    infer = jax.jit(
+        make_infer_fn(model, conf_thre=0.9, iou_thre=0.5, max_keep=64)
+    )
+    rng = np.random.default_rng(1)
+    init_img = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
+    variables = jax.jit(model.init)(jax.random.key(0), init_img)
+
+    for bs in batch_sizes:
+        try:
+            images = jnp.asarray(
+                rng.integers(
+                    0, 255, (bs, image_size, image_size, 3), dtype=np.uint8
+                )
+            )
+            ips = _measure(infer, variables, images)
+            return {"yolov1_value": round(ips, 1), "yolov1_batch_size": bs}
+        except Exception as e:
+            print(f"# v1 bs={bs} failed: {type(e).__name__}", file=sys.stderr)
+    return {"yolov1_value": 0.0, "yolov1_batch_size": None}
+
+
+def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None) -> dict:
     from odc_tpu.models import YOLOv2
     from odc_tpu.ops.detect import make_infer_fn
 
@@ -86,14 +117,15 @@ def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
 
     best = best_bf16 = best_int8 = best_full = 0.0
     best_bs = None
+    successes = 0
     try:
         infer_full = make_full_int8()
     except Exception as e:
         print(f"# int8_full unavailable: {type(e).__name__}", file=sys.stderr)
         infer_full = None
     for bs in batch_sizes:
-        if best_bs is not None:
-            break  # largest batch succeeded; smaller ones are fallbacks
+        if successes >= 2:
+            break  # two largest working batch sizes measured; best wins
         try:
             images = jnp.asarray(
                 rng.integers(0, 255, (bs, 416, 416, 3), dtype=np.uint8)
@@ -102,6 +134,7 @@ def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
         except Exception as e:  # OOM at large batch: fall through
             print(f"# bs={bs} failed: {type(e).__name__}", file=sys.stderr)
             continue
+        successes += 1
         try:
             ips_int8 = _measure(infer_int8, variables, images)
         except Exception as e:  # int8 path unavailable: bf16 still counts
@@ -149,4 +182,5 @@ def run(batch_sizes=(512, 256, 128, 64), extra=None) -> dict:
 
 if __name__ == "__main__":
     result = run()
+    result.update(bench_yolov1())
     print(json.dumps(result))
