@@ -126,6 +126,28 @@ class ConvBnLeaky(nn.Module):
         return nn.leaky_relu(x, self.negative_slope).astype(self.dtype)
 
 
+def extent_mask(shape, eh, ew):
+    """Per-image valid-extent mask for a padded NHWC batch.
+
+    Args:
+        shape: the [B, H, W, C] batch shape.
+        eh, ew: [B] int32 valid extents (rows/cols < extent are valid).
+    Returns:
+        [B, H, W, 1] bool — True inside each image's valid region.
+
+    Zeroing beyond the extents before every k>1 conv makes a
+    padded-to-bucket forward bitwise-equivalent (up to reduction order) to
+    running each image at its NATIVE size with SAME zero padding: border
+    windows read zeros exactly where the native run's implicit conv padding
+    would be, and floor-pooling arithmetic (``extent // 2``) reproduces the
+    reference's odd-dimension drops (``models/yolov2.py:666-667``).
+    """
+    b, h, w, _ = shape
+    rm = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1) < eh[:, None]
+    cm = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) < ew[:, None]
+    return (rm[:, :, None] & cm[:, None, :])[..., None]
+
+
 def max_pool_2x2(x):
     """2x2/2 max pool (reference MaxPool2d between Darknet stages)."""
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))

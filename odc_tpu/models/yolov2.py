@@ -18,10 +18,11 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from odc_tpu.models.backbones.darknet19 import Darknet19Backbone
-from odc_tpu.models.layers import ConvBnLeaky
+from odc_tpu.models.layers import ConvBnLeaky, extent_mask
 from odc_tpu.ops.decode import decode_v2, Detections, YOLOV2_ANCHORS
 
 
@@ -36,6 +37,32 @@ def quadrant_stack(h1: jnp.ndarray) -> jnp.ndarray:
     hw = jnp.concatenate([left, right], axis=-1)  # [N, H, w, 2C]
     top, bottom = hw[:, :h, :, :], hw[:, h : 2 * h, :, :]
     return jnp.concatenate([top, bottom], axis=-1)  # [N, h, w, 4C]
+
+
+def quadrant_stack_dynamic(h1: jnp.ndarray, e16h, e16w) -> jnp.ndarray:
+    """Per-image quadrant reorg for a PADDED batch: each image's quadrant
+    split sits at ITS native half extents (``e16h//2``, ``e16w//2``), not
+    the bucket's — the reference's quadrant slices are relative to the
+    native c5 map (``models/yolov2.py:254-301``), so a padded batch must
+    gather TL/TR/BL/BR from per-image offsets.  Values beyond each image's
+    quadrant extent are junk and must be masked downstream."""
+    b, hh, ww, c = h1.shape
+    qh, qw = e16h // 2, e16w // 2  # [B]
+
+    def one(img, qh_i, qw_i):
+        def grab(dy, dx):
+            return jax.lax.dynamic_slice(
+                img, (dy, dx, 0), (hh // 2, ww // 2, c)
+            )
+
+        zero = jnp.zeros((), jnp.int32)
+        return jnp.concatenate(
+            [grab(zero, zero), grab(zero, qw_i), grab(qh_i, zero),
+             grab(qh_i, qw_i)],
+            axis=-1,
+        )
+
+    return jax.vmap(one)(h1, qh.astype(jnp.int32), qw.astype(jnp.int32))
 
 
 def space_to_depth(h1: jnp.ndarray) -> jnp.ndarray:
@@ -62,23 +89,48 @@ class YOLOv2(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, train: bool = False, stem_out=None, neck_override=None
+        self, x, train: bool = False, stem_out=None, neck_override=None,
+        valid_hw=None,
     ):
         """[N, H, W, 3] RGB (0-255) -> raw head [N, Hg, Wg, A, 5 + C].
 
         ``stem_out`` / ``neck_override`` are inference-only hooks for fused
         or quantized replacements of the stem stages / the 3x3 neck conv
         (see ``odc_tpu.ops.quantize``); init always runs the plain path so
-        the param tree is identical."""
+        the param tree is identical.
+
+        ``valid_hw`` ([N, 2] int32, inference only): native per-image sizes
+        for a padded batch — the masked native-size-parity path (cells
+        [:h//32, :w//32] of the output equal the image's native-size run;
+        everything beyond is junk the caller must mask, see
+        ``odc_tpu.ops.detect.make_native_infer_fn``)."""
         a = self.num_anchor_box
         out_dim = a * (5 + self.num_cls)
+        if valid_hw is not None and (train or neck_override is not None):
+            raise ValueError(
+                "valid_hw is an inference-only path (no train/neck_override)"
+            )
 
         c5, c7 = Darknet19Backbone(dtype=self.dtype, remat=self.remat)(
-            x, train, stem_out=stem_out
+            x, train, stem_out=stem_out, valid_hw=valid_hw
         )
 
-        reorg = quadrant_stack if self.neck == "quadrant" else space_to_depth
-        h = jnp.concatenate([reorg(c5), c7], axis=-1)  # [N, Hg, Wg, 3072]
+        if valid_hw is None:
+            reorg = (
+                quadrant_stack if self.neck == "quadrant" else space_to_depth
+            )
+            h = jnp.concatenate([reorg(c5), c7], axis=-1)  # [N,Hg,Wg,3072]
+        else:
+            e16h, e16w = valid_hw[:, 0] // 16, valid_hw[:, 1] // 16
+            if self.neck == "quadrant":
+                p = quadrant_stack_dynamic(c5, e16h, e16w)
+            else:
+                # space_to_depth is block-local (translation-invariant under
+                # top-left-aligned padding); the static reorg is exact.
+                p = space_to_depth(c5)
+            h = jnp.concatenate([p, c7], axis=-1)
+            # Mask before the 3x3 neck conv: valid grid = (h//32, w//32).
+            h = h * extent_mask(h.shape, e16h // 2, e16w // 2).astype(h.dtype)
 
         neck_conv = ConvBnLeaky(1024, (3, 3), dtype=self.dtype)
         if neck_override is not None and not train:

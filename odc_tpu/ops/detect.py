@@ -119,3 +119,77 @@ def make_infer_fn(
 
 def jit_infer_fn(model, **kwargs) -> Callable:
     return jax.jit(make_infer_fn(model, **kwargs))
+
+
+def make_native_infer_fn(
+    model,
+    conf_thre: float = 0.9,
+    iou_thre: float = 0.5,
+    max_keep: int = 64,
+    class_wise: bool = False,
+) -> Callable:
+    """Native-size-parity inference over a PADDED batch (YOLOv2 only).
+
+    ``infer(variables, images, valid_hw, conf_thre=..., iou_thre=...)``:
+    images are padded (top-left aligned, zero fill) to a common bucket;
+    ``valid_hw`` [B, 2] int32 carries each image's native (h, w).  The
+    masked forward (``YOLOv2.__call__(valid_hw=...)``) makes every image's
+    valid grid cells equal its NATIVE-size run — the reference's v2 eval
+    semantics (no resize, floor pooling, ``models/yolov2.py:666-667``) —
+    while the batch shares ONE compiled program per bucket shape.  Decode
+    uses per-image native cell sizes (``h/ (h//32)``, the reference's
+    ``predict()`` scaling) so boxes come out directly in native pixel
+    coordinates; cells beyond an image's grid get conf=0 (requires
+    ``conf_thre > 0``, true of every reference threshold)."""
+    if type(model).__name__ != "YOLOv2":
+        raise ValueError("make_native_infer_fn supports YOLOv2 only "
+                         "(v1 resizes to the network size; use make_infer_fn)")
+
+    def infer(variables, images, valid_hw, conf_thre=conf_thre,
+              iou_thre=iou_thre):
+        y = model.apply(variables, images, train=False, valid_hw=valid_hw)
+        b, hg, wg, a, _ = y.shape
+        # Decode in grid units (image_hw == grid dims -> cell size 1).
+        det = model.decode(y, (hg, wg))
+        gh, gw = valid_hw[:, 0] // 32, valid_hw[:, 1] // 32
+        dt = det.boxes.dtype
+        sx = (valid_hw[:, 1] / gw).astype(dt)  # native cell width
+        sy = (valid_hw[:, 0] / gh).astype(dt)
+        scale = jnp.stack([sx, sy, sx, sy], -1)[:, None, None, None, :]
+        boxes = (det.boxes * scale).reshape(b, -1, 4)
+
+        cell_valid = (
+            (jax.lax.broadcasted_iota(jnp.int32, (1, hg), 1) < gh[:, None])
+            [:, :, None]
+            & (jax.lax.broadcasted_iota(jnp.int32, (1, wg), 1) < gw[:, None])
+            [:, None, :]
+        )  # [B, Hg, Wg]
+        conf = jnp.where(cell_valid[..., None], det.conf, 0.0).reshape(b, -1)
+        num_cls = det.cls_spec.shape[-1]
+        cls_scores = det.cls_spec.reshape(b, -1, num_cls)
+
+        if class_wise:
+            sup = class_offset_boxes(boxes, jnp.argmax(cls_scores, -1))
+            out = jax.vmap(
+                lambda bb, cc, ss, sb: nms_padded(
+                    bb, cc, ss, conf_thre, iou_thre, max_keep,
+                    suppress_boxes=sb,
+                )
+            )(boxes, conf, cls_scores, sup)
+        else:
+            out = jax.vmap(
+                lambda bb, cc, ss: nms_padded(
+                    bb, cc, ss, conf_thre, iou_thre, max_keep
+                )
+            )(boxes, conf, cls_scores)
+        o_boxes, o_conf, o_cls, o_keep = out
+        # Compact outputs (the streaming-eval contract).
+        return (
+            o_boxes,
+            o_conf,
+            jnp.argmax(o_cls, axis=-1).astype(jnp.int32),
+            jnp.max(o_cls, axis=-1),
+            o_keep,
+        )
+
+    return infer
