@@ -27,12 +27,13 @@ SURVEY.md §7 hard-part 4):
 * HueSaturationValue uses OpenCV conventions: hue shift ±20 in OpenCV's
   0-179 half-degree units (= ±40°), saturation/value shifts ±30/±20 in
   uint8 units.
-* the default geometric backend is the gather-free TWO-PASS warp
-  (``odc_tpu.ops.warp``): TPU gathers run near-scalar (the one-shot
-  4-tap warp measured 825 ms/batch, PROFILE.md), while rolls + hat-matrix
-  matmuls are native.  Axis-aligned transforms are bitwise-identical to
-  one-shot bilinear; rotations interpolate once per pass — the same
-  behavior class as the reference's albumentations cascade, which itself
+* the geometric backend is gather-free ("auto": the fused Pallas VMEM
+  warp kernel on TPU, 11.5 ms/batch; the XLA two-pass elsewhere,
+  50.5 ms — vs 807 ms for the one-shot 4-tap gather warp, PROFILE.md):
+  TPU gathers run near-scalar while rolls + hat-matrix matmuls are
+  native.  Axis-aligned transforms are bitwise-identical to one-shot
+  bilinear; rotations interpolate once per pass — the same behavior
+  class as the reference's albumentations cascade, which itself
   resamples once per enabled transform (up to 3x per image).
 """
 
@@ -117,16 +118,26 @@ def _sample_affine(key, cfg: AugmentConfig, hw):
 def _warp_images(imgs, m_invs, hw, impl: str):
     """Batched warp dispatch.  ``impl``:
 
-    * ``"twopass"`` (default): gather-free two-pass warp
-      (``odc_tpu.ops.warp``) — rolls/masks/matmuls only; the TPU path.
+    * ``"auto"`` (default): ``"pallas"`` on a real TPU backend, else
+      ``"twopass"`` — the measured-fastest backend per platform
+      (11.5 vs 50.5 ms/batch at bs=64/416², PROFILE.md round 3).
+    * ``"twopass"``: gather-free two-pass warp (``odc_tpu.ops.warp``) —
+      rolls/masks/matmuls only; runs on every backend.
     * ``"pallas"``: the same math fused into one VMEM-resident kernel per
       plane (``odc_tpu.ops.pallas.warp_kernel``); real TPU only.
     * ``"oneshot"``: direct 4-tap bilinear gather — exact single-resample
-      semantics, but gather-bound on TPU (825 ms/batch, PROFILE.md); for
+      semantics, but gather-bound on TPU (807 ms/batch, PROFILE.md); for
       CPU hosts and as the semantic oracle.
     """
     from odc_tpu.ops.warp import warp_affine_oneshot, warp_affine_twopass
 
+    if impl == "auto":
+        dev = jax.devices()[0]
+        on_tpu = (
+            dev.platform == "tpu"
+            or "TPU" in getattr(dev, "device_kind", "")
+        )
+        impl = "pallas" if on_tpu else "twopass"
     if impl == "pallas":
         from odc_tpu.ops.pallas.warp_kernel import warp_affine_pallas
 
@@ -218,7 +229,7 @@ def augment_batch(
     boxes: jax.Array,   # [B, M, 4] f32 pixel corners
     valid: jax.Array,   # [B, M] bool
     cfg: AugmentConfig = AugmentConfig(),
-    warp_impl: str = "twopass",
+    warp_impl: str = "auto",
 ):
     """One fused augmentation pass over the batch.  Returns (images uint8,
     boxes f32, valid).  ``warp_impl``: see ``_warp_images``."""

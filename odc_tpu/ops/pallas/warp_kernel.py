@@ -30,9 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 from odc_tpu.ops.warp import ext_size, shift_kmax, twopass_coeffs, _PAD_MARGIN
 
 
+def _fiota(shape, dim):
+    # Mosaic's tpu.iota only produces integer vectors — build f32 iotas as
+    # int32 + convert (a plain f32 broadcasted_iota fails verification).
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
 def _hat(n_in: int, n_out: int, slope, offset):
-    i = jax.lax.broadcasted_iota(jnp.float32, (n_in, n_out), 0)
-    o = jax.lax.broadcasted_iota(jnp.float32, (n_in, n_out), 1)
+    i = _fiota((n_in, n_out), 0)
+    o = _fiota((n_in, n_out), 1)
     return jnp.maximum(0.0, 1.0 - jnp.abs(slope * o + offset - i))
 
 
@@ -63,18 +69,21 @@ def _translate_ext(v, tau, axis: int, kmax: int):
 
 
 def _warp_kernel(coef_ref, img_ref, out_ref, *, h, w, kx, ky):
-    p = coef_ref[0, 0]
-    mx0 = coef_ref[0, 1]
-    q1 = coef_ref[0, 2]
-    d = coef_ref[0, 3]
-    my0 = coef_ref[0, 4]
-    c = coef_ref[0, 5]
+    # coef_ref holds the WHOLE [B, 6] table (Mosaic requires SMEM blocks to
+    # match the array dims); pick this image's row by grid position.
+    i = pl.program_id(0)
+    p = coef_ref[i, 0]
+    mx0 = coef_ref[i, 1]
+    q1 = coef_ref[i, 2]
+    d = coef_ref[i, 3]
+    my0 = coef_ref[i, 4]
+    c = coef_ref[i, 5]
 
     v = img_ref[0, 0]  # [H, W] f32 plane
 
     # Pass X: rows translate by q1·(y-cy); columns resample at slope p
     # from the extended canvas (+kx index offset).
-    rows = jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0)
+    rows = _fiota((h, 1), 0)
     v = _translate_ext(v, q1 * (rows - (h - 1) / 2.0), axis=1, kmax=kx)
     v = jnp.dot(
         v, _hat(ext_size(w, kx), w, p, mx0 + kx),
@@ -83,7 +92,7 @@ def _warp_kernel(coef_ref, img_ref, out_ref, *, h, w, kx, ky):
     )
 
     # Pass Y: columns translate by c·(x-cx); rows resample at slope d.
-    cols = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+    cols = _fiota((1, w), 1)
     v = _translate_ext(v, c * (cols - (w - 1) / 2.0), axis=0, kmax=ky)
     my = _hat(ext_size(h, ky), h, d, my0 + ky)  # [y_in_ext, y_out]
     out_ref[0, 0] = jnp.dot(
@@ -116,7 +125,7 @@ def warp_affine_pallas(
         functools.partial(_warp_kernel, h=h, w=w, kx=kx, ky=ky),
         grid=(b, ch),
         in_specs=[
-            pl.BlockSpec((1, 6), lambda i, j: (i, 0),
+            pl.BlockSpec((b, 6), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -86,7 +86,7 @@ def make_train_step(
     momentum: float = 0.0,
     weight_decay: float = 5e-4,
     augment_cfg=None,
-    augment_warp_impl: str = "twopass",
+    augment_warp_impl: str = "auto",
 ) -> Callable:
     """Build the jitted train step: (state, batch, lr, rng) -> (state, metrics).
 
@@ -94,9 +94,10 @@ def make_train_step(
     (``odc_tpu.ops.augment``) runs inside the step and targets are
     re-assigned on device from the augmented boxes — the full
     pixels-to-gradients path is one XLA program.
-    ``augment_warp_impl``: geometric-warp backend ("twopass" default,
-    "pallas" for the fused VMEM kernel on real TPU, "oneshot" gather
-    oracle — see ``odc_tpu.ops.augment._warp_images``).
+    ``augment_warp_impl``: geometric-warp backend ("auto" default: the
+    fused Pallas VMEM kernel on real TPU, the XLA twopass elsewhere;
+    "oneshot" is the gather oracle — see
+    ``odc_tpu.ops.augment._warp_images``).
     """
 
     def loss_fn(params, batch_stats, batch, rng):

@@ -14,8 +14,11 @@ D2H is ~1 MB/s — CLAUDE.md environment facts).
 Usage:  python scripts/profile_warp.py  [bs] [size]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +28,21 @@ BS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 416
 
 
+def sync(out):
+    """Through the dev relay block_until_ready can return before the device
+    finishes (CLAUDE.md) — force a real sync with a tiny D2H fetch."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jnp.ravel(leaf)[:1])
+
+
 def bench(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    sync(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
@@ -136,26 +146,23 @@ def main():
     )
 
     def step_ms(aug_cfg, impl):
-        state = TrainState.create(variables)
+        # Fresh param copies: the train step donates its input state, and
+        # ``variables`` is shared across configs.
+        state = TrainState.create(jax.tree.map(jnp.copy, variables))
         step = make_train_step(
             model, "v2", Lambdas(), model.anchors, momentum=0.9,
             weight_decay=5e-4, augment_cfg=aug_cfg,
             augment_warp_impl=impl,
         )
 
-        def run(s, b, k):
-            s2, m = step(s, b, jnp.float32(1e-3), k)
-            return s2, m
-
-        # bench with state threading (donation-safe: rebuild each iter)
         for i in range(2):
-            state, m = run(state, batch, jax.random.key(i))
-        m["loss"].block_until_ready()
+            state, m = step(state, batch, jnp.float32(1e-3), jax.random.key(i))
+        sync(m["loss"])
         t0 = time.perf_counter()
         iters = 10
         for i in range(iters):
-            state, m = run(state, batch, jax.random.key(i))
-        m["loss"].block_until_ready()
+            state, m = step(state, batch, jnp.float32(1e-3), jax.random.key(i))
+        sync(m["loss"])
         return (time.perf_counter() - t0) / iters * 1e3
 
     print(f"{'train step (no device aug)':28s} {step_ms(None, 'twopass'):8.2f} ms")
