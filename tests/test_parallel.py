@@ -1,11 +1,59 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4
-— the standard JAX substitute for distributed test rigs)."""
+— the standard JAX substitute for distributed test rigs).
+
+Tests that EXECUTE cross-device collectives run in a pytest SUBPROCESS:
+XLA's in-process CPU collectives hard-abort the whole process (SIGABRT,
+rendezvous.cc 40 s timeout) when the host can't get every participant to
+the rendezvous in time — on a 1-core sandbox a late-suite 4-participant
+all-reduce aborts probabilistically (accumulated threads), killing pytest
+itself.  The subprocess contains the abort; on starved hosts the known
+signature becomes a documented skip, on healthy hosts the test runs
+normally (see CLAUDE.md environment facts)."""
+
+import functools
+import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+
+
+def isolated_collective(fn):
+    """Run this test in its own pytest subprocess (see module docstring)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if os.environ.get("ODC_COLLECTIVE_IN_SUBPROC"):
+            return fn(*args, **kwargs)
+        env = {**os.environ, "ODC_COLLECTIVE_IN_SUBPROC": "1"}
+        # -s: no inner capture — a SIGABRT would otherwise eat the buffered
+        # rendezvous message and hide the failure signature.
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q", "-s",
+             "-p", "no:cacheprovider",
+             f"{os.path.abspath(__file__)}::{fn.__name__}"],
+            capture_output=True, text=True, timeout=2400, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        out = proc.stdout + proc.stderr
+        if proc.returncode != 0:
+            aborted = (
+                proc.returncode in (-6, 134)
+                or "Termination timeout for" in out
+                or "Fatal Python error: Aborted" in out
+            )
+            if aborted and (os.cpu_count() or 1) < 8:
+                pytest.skip(
+                    "XLA CPU in-process collective rendezvous starved on "
+                    "this few-core host (hardcoded 40s abort; CLAUDE.md)"
+                )
+            raise AssertionError(out[-3000:])
+
+    return wrapper
 
 from odc_tpu.data.pipeline import Batch
 from odc_tpu.losses.yolo_loss import Lambdas
@@ -78,6 +126,7 @@ def test_param_specs_shard_wide_kernels(model_and_vars):
             assert all(axis is None for axis in s)
 
 
+@isolated_collective
 def test_dp_matches_single_device(model_and_vars):
     model, variables = model_and_vars
     step_fn = make_train_step(
@@ -111,6 +160,7 @@ def test_dp_matches_single_device(model_and_vars):
     )
 
 
+@isolated_collective
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
@@ -140,6 +190,7 @@ def test_maybe_initialize_distributed_noop_subprocess():
     assert "NOOP_OK" in r.stdout, r.stderr
 
 
+@isolated_collective
 def test_data_parallel_inference_matches_single_device():
     """Batched e2e inference under the (data, model) mesh must produce the
     same boxes as single-device execution — the multi-chip serving path
