@@ -196,12 +196,23 @@ def make_synthetic_voc(
     """Generate a miniature VOC tree (JPEGs + XMLs) under ``root``.
 
     Images contain solid-color rectangles on noise; each rectangle is a
-    labeled object.  Returns ``root`` (pass it to ``VOC(dataset_dir=...)``).
+    labeled object whose color is a CLASS-DETERMINED palette entry (plus
+    jitter), so the class is *learnable from pixels* — with uncorrelated
+    colors a val-split mAP can never exceed ~1/num_classes of the
+    localization quality, which silently voids any train/eval study on
+    this data.  Returns ``root`` (pass it to ``VOC(dataset_dir=...)``).
     """
     from PIL import Image
 
     rng = np.random.default_rng(seed)
     h, w = image_hw
+
+    # 20 visually-distinct class colors, away from the 0-80 background.
+    grid = np.stack(
+        np.meshgrid([110, 160, 210], [110, 160, 210], [110, 160, 210]),
+        axis=-1,
+    ).reshape(-1, 3)
+    palette = grid[np.linspace(0, len(grid) - 1, len(CLASS_LIST)).astype(int)]
 
     plan = [("train", "voc2012-trainval", "VOC2012", num_train),
             ("val", "voc2007-test", "VOC2007", num_val)]
@@ -220,9 +231,12 @@ def make_synthetic_voc(
                 bh = int(rng.integers(40, h // 2))
                 x1 = int(rng.integers(0, w - bw))
                 y1 = int(rng.integers(0, h - bh))
-                color = rng.integers(120, 255, 3, dtype=np.uint8)
+                cls_idx = int(rng.integers(0, len(CLASS_LIST)))
+                color = np.clip(
+                    palette[cls_idx] + rng.integers(-20, 21, 3), 0, 255
+                ).astype(np.uint8)
                 img[y1 : y1 + bh, x1 : x1 + bw] = color
-                cls = CLASS_LIST[int(rng.integers(0, len(CLASS_LIST)))]
+                cls = CLASS_LIST[cls_idx]
                 objs.append((cls, x1, y1, x1 + bw, y1 + bh))
 
             name = f"{year.lower()}_{i:06d}"

@@ -10,7 +10,7 @@ device-augmentation row.
 
 Usage:
   python scripts/int8_accuracy_study.py [epochs] [warp_impl] [lr] [conf] \
-      [size] [norot]
+      [size] [full|norot|noaug]
 Writes /tmp/int8_study.json and prints a markdown table.
 
 Protocol notes: the backbone trains FROM SCRATCH (no pretrained weights in
@@ -40,7 +40,7 @@ WARP_IMPL = sys.argv[2] if len(sys.argv) > 2 else "auto"
 BASE_LR = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-3
 CONF_THRE = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
 SIZE = int(sys.argv[5]) if len(sys.argv) > 5 else 416
-ROTATE = sys.argv[6] != "norot" if len(sys.argv) > 6 else True
+AUG = sys.argv[6] if len(sys.argv) > 6 else "full"  # full|norot|noaug
 BS = 64
 HW = (SIZE, SIZE)
 
@@ -89,7 +89,10 @@ def main():
         step = make_train_step(
             model, "v2", Lambdas(), model.anchors,
             momentum=0.9, weight_decay=5e-4,
-            augment_cfg=AugmentConfig(p_rotate=0.5 if ROTATE else 0.0),
+            augment_cfg=(
+                None if AUG == "noaug"
+                else AugmentConfig(p_rotate=0.0 if AUG == "norot" else 0.5)
+            ),
             augment_warp_impl=WARP_IMPL,
         )
 
