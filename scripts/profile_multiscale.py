@@ -71,20 +71,27 @@ def main():
             img_id=jax.device_put(np.arange(BS, dtype=np.int32)),
         )
 
-        state = TrainState.create(variables)
+        def sync(x):
+            # block_until_ready can return early through the dev relay
+            # (CLAUDE.md) — force a real sync with a tiny D2H fetch.
+            np.asarray(jnp.ravel(x)[:1])
+
+        # Fresh param copies per size: the step donates its input state and
+        # ``variables`` is shared across sizes.
+        state = TrainState.create(jax.tree.map(jnp.copy, variables))
         t0 = time.perf_counter()
         state, m = step(state, batch, jnp.float32(1e-3), jax.random.key(0))
-        m["loss"].block_until_ready()
+        sync(m["loss"])
         compile_s = time.perf_counter() - t0
 
         for i in range(2):
             state, m = step(state, batch, jnp.float32(1e-3), jax.random.key(i))
-        m["loss"].block_until_ready()
+        sync(m["loss"])
         t0 = time.perf_counter()
         iters = 10
         for i in range(iters):
             state, m = step(state, batch, jnp.float32(1e-3), jax.random.key(i))
-        m["loss"].block_until_ready()
+        sync(m["loss"])
         ms = (time.perf_counter() - t0) / iters * 1e3
         print(
             f"| {size} | {compile_s:.1f} | {ms:.1f} | {BS / ms * 1e3:.0f} |"
