@@ -38,6 +38,14 @@ BASELINE_IMAGES_PER_SEC = 5000.0  # BASELINE.json north star
 WARMUP_ITERS = 3
 TIMED_ITERS = 20
 
+# Persistent compile cache: repeat bench runs (and anything else sharing
+# the cache) skip the 20-40 s-per-program TPU compiles.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def _measure(infer, variables, images) -> float:
     for _ in range(WARMUP_ITERS):

@@ -284,6 +284,7 @@ def evaluate_batched_native(
     batch_size: int = 8,
     levels: Sequence[float] = DEFAULT_LEVELS,
     dedup: bool = False,
+    prefetch: int = 2,
 ) -> Dict[str, np.ndarray]:
     """Bucketed NATIVE-parity streaming mAP (YOLOv2).
 
@@ -338,9 +339,22 @@ def evaluate_batched_native(
                 annot["lbl_list"],
             )
 
+    def items():
+        for i in range(len(dataset)):
+            yield dataset[i]
+
+    source = items()
+    if prefetch > 0:
+        # Overlap host JPEG decode with the device's inference on already
+        # flushed buckets (same pattern as evaluate_batched).
+        from odc_tpu.data.prefetch import threaded_prefetch
+
+        source = threaded_prefetch(
+            items, maxsize=max(1, prefetch * batch_size)
+        )
+
     pending: Dict[Tuple[int, int], list] = {}
-    for i in range(len(dataset)):
-        _, img, annot = dataset[i]
+    for _id, img, annot in source:
         h, w = img.shape[:2]
         if h < 64 or w < 64:
             raise ValueError(
