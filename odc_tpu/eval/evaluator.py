@@ -303,6 +303,15 @@ def evaluate_batched_native(
     if detector.mode != "v2":
         raise ValueError("native-parity bucketed eval is v2-only "
                          "(v1 resizes to the network size)")
+    if (detector._make_kwargs.get("int8_neck")
+            or detector._make_kwargs.get("int8_scales") is not None):
+        # make_native_infer_fn has no int8 path; silently evaluating the
+        # bf16 graph would mislabel an int8 accuracy measurement.
+        raise ValueError(
+            "native-parity bucketed eval does not support int8 detectors "
+            "(int8_neck/int8_scales); evaluate int8 configs through "
+            "evaluate_batched, or build the Detector without int8 flags"
+        )
     from odc_tpu.ops.detect import make_native_infer_fn
 
     infer = jax.jit(

@@ -40,6 +40,7 @@ SURVEY.md §7 hard-part 4):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Tuple
 
 import jax
@@ -115,7 +116,37 @@ def _sample_affine(key, cfg: AugmentConfig, hw):
     return m
 
 
-def _warp_images(imgs, m_invs, hw, impl: str):
+def warp_max_shear(cfg: AugmentConfig) -> float:
+    """Static bound on the two-pass warp's translation slopes for ``cfg``.
+
+    For the scale·rotation·flip family the pass-X slope is ``q1 = b/d =
+    ±tanθ`` and the pass-Y slope is ``c = ∓sinθ/s`` (``ops/warp.py``
+    ``twopass_coeffs``), so the bound is ``max(tanθmax, sinθmax/s_min)``.
+    The decomposition needs ``|d| = cosθ/s`` bounded away from 0: beyond
+    45° ``translate_axis_extended`` would silently clip the per-row
+    translation and warp geometry wrongly — reject it here (the reference's
+    albumentations family stays at ±45°, ``models/yolov1.py:29``); larger
+    rotations require ``warp_impl="oneshot"``.
+    """
+    theta = (
+        max(abs(cfg.rotate_limit[0]), abs(cfg.rotate_limit[1]))
+        if cfg.p_rotate > 0.0 else 0.0
+    )
+    if theta > 45.0:
+        raise ValueError(
+            f"two-pass warp backends support |rotation| <= 45 deg "
+            f"(got rotate_limit={cfg.rotate_limit}); use warp_impl='oneshot' "
+            f"for larger rotations"
+        )
+    s_min = 1.0 + min(cfg.scale_limit[0], 0.0)
+    if s_min <= 0.0:
+        raise ValueError(f"scale_limit lower bound must be > -1 "
+                         f"(got {cfg.scale_limit})")
+    t = math.radians(theta)
+    return max(math.tan(t), math.sin(t) / s_min)
+
+
+def _warp_images(imgs, m_invs, hw, impl: str, max_shear: float = 1.0):
     """Batched warp dispatch.  ``impl``:
 
     * ``"auto"`` (default): ``"pallas"`` on a real TPU backend, else
@@ -141,9 +172,14 @@ def _warp_images(imgs, m_invs, hw, impl: str):
     if impl == "pallas":
         from odc_tpu.ops.pallas.warp_kernel import warp_affine_pallas
 
-        return warp_affine_pallas(imgs, m_invs)
-    fn = warp_affine_twopass if impl == "twopass" else warp_affine_oneshot
-    return jax.vmap(lambda im, mi: fn(im, mi, hw))(imgs, m_invs)
+        return warp_affine_pallas(imgs, m_invs, max_shear=max_shear)
+    if impl == "twopass":
+        return jax.vmap(
+            lambda im, mi: warp_affine_twopass(im, mi, hw, max_shear)
+        )(imgs, m_invs)
+    return jax.vmap(
+        lambda im, mi: warp_affine_oneshot(im, mi, hw)
+    )(imgs, m_invs)
 
 
 def _warp_boxes(boxes, valid, m, hw):
@@ -241,7 +277,12 @@ def augment_batch(
     ms = jax.vmap(lambda k: _sample_affine(k, cfg, hw))(kg)
     m_invs = jnp.linalg.inv(ms)
 
-    imgf = _warp_images(images.astype(jnp.float32), m_invs, hw, warp_impl)
+    # Derived (not hardcoded) slope bound: validates rotate_limit for the
+    # two-pass backends and shrinks the shift canvas for small rotations.
+    max_shear = warp_max_shear(cfg) if warp_impl != "oneshot" else 1.0
+    imgf = _warp_images(
+        images.astype(jnp.float32), m_invs, hw, warp_impl, max_shear
+    )
     imgf = jax.vmap(lambda k, im: _color(k, im, cfg))(kc, imgf)
     out_boxes, out_valid = jax.vmap(
         lambda bx, vd, m: _warp_boxes(bx, vd, m, hw)

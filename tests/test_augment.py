@@ -94,8 +94,10 @@ def test_rotation_enclosing_box_and_validity():
     rng = np.random.default_rng(3)
     img, boxes, valid = _batch(rng, b=1)
     cfg = _identity_cfg(p_rotate=1.0, rotate_limit=(90.0, 90.0))
+    # 90° exceeds the two-pass decomposition's validity (ADVICE r3) —
+    # rotations beyond 45° require the oneshot backend.
     _, out_boxes, out_valid = augment_batch(
-        jax.random.key(0), img, boxes, valid, cfg
+        jax.random.key(0), img, boxes, valid, cfg, warp_impl="oneshot"
     )
     # 90° rotation about the center maps a wxh box to hxw (before clip).
     b0 = np.asarray(boxes[0, 0])
@@ -184,3 +186,81 @@ def test_albumentations_statistical_equivalence_documented():
     raise AssertionError(
         "albumentations present — implement the statistical A/B test"
     )
+
+
+def test_warp_max_shear_derivation():
+    """ADVICE r3: max_shear is derived from the config, not hardcoded.
+
+    The two-pass slope bound is max(tan θmax, sin θmax / s_min)
+    (``ops/augment.py::warp_max_shear``); rotation off ⇒ 0 (axis-aligned
+    transforms have zero cross-slope), and beyond 45° the decomposition
+    would silently clip — it must be rejected for non-oneshot backends."""
+    import math
+
+    from odc_tpu.ops.augment import warp_max_shear
+
+    # default family: θmax=45°, s_min=0.8 → max(tan45, sin45/0.8) = 1.0
+    assert warp_max_shear(AugmentConfig()) == pytest.approx(1.0)
+    # small rotation shrinks the bound (smaller shift canvas);
+    # here sin10°/s_min=0.8 dominates tan10°
+    small = AugmentConfig(rotate_limit=(-10.0, 10.0))
+    assert warp_max_shear(small) == pytest.approx(
+        math.sin(math.radians(10)) / 0.8
+    )
+    # rotation disabled ⇒ zero shear regardless of the (unused) limits
+    assert warp_max_shear(_identity_cfg()) == 0.0
+    # deep zoom-out dominates via sinθ/s_min
+    zoom = AugmentConfig(scale_limit=(-0.5, 0.2))
+    assert warp_max_shear(zoom) == pytest.approx(
+        math.sin(math.radians(45)) / 0.5
+    )
+    with pytest.raises(ValueError, match="45"):
+        warp_max_shear(AugmentConfig(rotate_limit=(-60.0, 60.0)))
+    with pytest.raises(ValueError, match="scale_limit"):
+        warp_max_shear(AugmentConfig(scale_limit=(-1.0, 0.0)))
+
+
+def test_wide_rotation_rejected_for_twopass_allowed_for_oneshot():
+    rng = np.random.default_rng(11)
+    img, boxes, valid = _batch(rng)
+    wide = AugmentConfig(rotate_limit=(-60.0, 60.0))
+    with pytest.raises(ValueError, match="oneshot"):
+        augment_batch(jax.random.key(0), img, boxes, valid, wide,
+                      warp_impl="twopass")
+    out = augment_batch(jax.random.key(0), img, boxes, valid, wide,
+                        warp_impl="oneshot")
+    assert out[0].shape == img.shape
+
+
+def test_twopass_matches_oneshot_with_derived_shear():
+    """A rotation-limited config exercises the DERIVED (sub-1.0) kmax: the
+    rotation's per-row translations must still land inside the shrunken
+    shift canvas.  On a smooth (linear-gradient) image bilinear resampling
+    is interior-exact for one OR two passes, so any kmax clipping (rows
+    sliding to wrong positions) shows up as a large diff against the
+    oneshot semantic oracle."""
+    h, w = HW
+    ramp = (
+        np.linspace(0, 200, h)[:, None, None]
+        + np.linspace(0, 55, w)[None, :, None]
+    )
+    img = jnp.asarray(
+        np.broadcast_to(ramp, (2, h, w, 3)).astype(np.uint8)
+    )
+    _, boxes, valid = _batch(np.random.default_rng(13))
+    cfg = AugmentConfig(
+        p_rotate=1.0, rotate_limit=(-20.0, 20.0),
+        p_scale=0.0, p_translate=0.0, p_flip=0.0,
+        p_channel_shuffle=0.0, p_hsv=0.0,
+    )
+    key = jax.random.key(3)
+    two = augment_batch(key, img, boxes, valid, cfg, warp_impl="twopass")
+    one = augment_batch(key, img, boxes, valid, cfg, warp_impl="oneshot")
+    m = 16  # border margin: zero-fill edges alias differently per backend
+    diff = np.abs(
+        two[0][:, m:-m, m:-m].astype(np.int32)
+        - one[0][:, m:-m, m:-m].astype(np.int32)
+    )
+    assert diff.mean() < 1.0, diff.mean()
+    np.testing.assert_allclose(np.asarray(two[1]), np.asarray(one[1]),
+                               rtol=1e-4, atol=1e-2)

@@ -216,3 +216,14 @@ def test_evaluate_batched_native_rejects_v1(setup):
     det = Detector(model, variables)
     with pytest.raises(ValueError, match="v2-only"):
         evaluate_batched_native(det, _ListDataset([]))
+
+
+def test_evaluate_batched_native_rejects_int8(setup):
+    """ADVICE r3 (medium): an int8-configured Detector must not silently
+    evaluate in bf16 through the native-parity path (which has no int8
+    graph) — that would mislabel an int8 accuracy measurement."""
+    _, model, variables = setup
+    det = Detector(model, variables, conf_thre=0.3, max_keep=16,
+                   int8_neck=True)
+    with pytest.raises(ValueError, match="int8"):
+        evaluate_batched_native(det, _ListDataset([]))
