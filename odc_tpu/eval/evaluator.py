@@ -61,6 +61,7 @@ class Detector:
         class_wise: bool = False,
         int8_neck: bool = False,
         int8_scales=None,
+        int8_stem: str = "s2d",
     ) -> None:
         self.model = model
         self.variables = variables
@@ -73,6 +74,7 @@ class Detector:
             class_wise=class_wise,
             int8_neck=int8_neck and self.mode == "v2",
             int8_scales=int8_scales if self.mode == "v2" else None,
+            int8_stem=int8_stem,
         )
         self._infer = jax.jit(
             make_infer_fn(

@@ -26,6 +26,7 @@ def make_infer_fn(
     class_wise: bool = False,
     int8_neck: bool = False,
     int8_scales=None,
+    int8_stem: str = "s2d",
     compact: bool = False,
 ) -> Callable:
     """Build ``infer(variables, images, conf_thre=..., iou_thre=...) ->
@@ -42,7 +43,11 @@ def make_infer_fn(
 
     ``int8_scales`` (YOLOv2 only): run the FULL int8 PTQ engine
     (``odc_tpu.ops.int8_engine``) with these calibrated activation scales —
-    the configuration that clears the 5000 img/s north star (PROFILE.md)."""
+    the configuration that clears the 5000 img/s north star (PROFILE.md).
+    ``int8_stem`` picks the engine's first-layer formulation: ``"s2d"``
+    (default) folds conv0+pool into one 4x4/stride-2 bf16 conv — measured
+    faster AND strictly more accurate than quantizing the first conv
+    (PROFILE.md round 4 "the front"); ``"plain"`` is the all-int8 path."""
     if int8_scales is not None or int8_neck:
         # The int8 paths hardcode the Darknet-19/quadrant YOLOv2 graph; a
         # space_to_depth model would silently run the quadrant reorg and
@@ -61,6 +66,7 @@ def make_infer_fn(
             y = yolov2_int8_forward(
                 variables, images, scales=int8_scales,
                 num_anchor_box=model.num_anchor_box, num_cls=model.num_cls,
+                stem=int8_stem,
             )
         else:
             apply_kwargs = {}

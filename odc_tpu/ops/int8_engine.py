@@ -176,6 +176,42 @@ def _zp_border_correction(wq, z, hw):
     return z * w_out
 
 
+def _s2d_stem_kernel(k):
+    """Lift the stage-1 3x3/s1 conv kernel [3,3,Cin,Cout] to a 4x4/s2
+    kernel [4,4,Cin,4*Cout] computing all 4 output phases at once.
+
+    With explicit padding (1,2) and stride 2, output cell (i,j) reads
+    input rows 2i-1..2i+2 — exactly the union of the 3x3 windows of the
+    four original output pixels (2i+pi, 2j+pj).  Phase p=(pi,pj)'s tap
+    (dy,dx) lands at kernel position (pi+dy+1, pj+dx+1) and writes output
+    channel p*Cout+co.  Same math, but the output has FULL 128-lane
+    channels at 1/4 the spatial rows — the original C=3->32 @416
+    formulation underfills lane tiles 4x and measures 3x off its HBM
+    roofline (PROFILE.md round 4 "the front").  No input relayout at all:
+    the strided conv consumes the original NHWC bytes (an explicit
+    space-to-depth transpose measured SLOWER than the problem it solved).
+    """
+    _, _, cin, cout = k.shape
+    w = jnp.zeros((4, 4, cin, 4 * cout), k.dtype)
+    for pi in range(2):
+        for pj in range(2):
+            p = pi * 2 + pj
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    w = w.at[
+                        pi + dy + 1, pj + dx + 1, :,
+                        p * cout : (p + 1) * cout,
+                    ].set(k[dy + 1, dx + 1])
+    return w
+
+
+def _phase_max(y):
+    """2x2 maxpool of the original grid == channelwise max over the 4
+    phase groups of the s2d representation (monotone requant commutes)."""
+    b, h, w, c4 = y.shape
+    return y.reshape(b, h, w, 4, c4 // 4).max(axis=3)
+
+
 def _conv_f32(x, kernel):
     dn = lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
@@ -213,6 +249,9 @@ def yolov2_int8_forward(
     num_anchor_box: int = 5,
     num_cls: int = 20,
     calib_percentile: Optional[float] = None,
+    stop_after: Optional[int] = None,
+    bf16_front: int = 0,
+    stem: str = "plain",
 ):
     """Run YOLOv2 inference.
 
@@ -245,7 +284,15 @@ def yolov2_int8_forward(
     h0 = (images.astype(jnp.float32) / 255.0 - mean) / std
     s_in = jnp.float32(_INPUT_AMAX / 127.0)
 
-    if calibrating:
+    if stem not in ("plain", "s2d"):
+        raise ValueError(f"stem must be 'plain' or 's2d', got {stem!r}")
+    if calibrating or bf16_front > 0 or stem == "s2d":
+        # bf16_front: the leading convs run in bf16 — XLA's int8 conv path
+        # is ~3x SLOWER than its bf16 one at tiny channel counts (measured
+        # conv0 9.8 ms int8 vs 3.6 bf16 at bs=256, PROFILE.md round 4), so
+        # the front of the network quantizes nothing until channel widths
+        # reach MXU-friendly sizes.  Accuracy strictly improves (fewer
+        # quantized layers).
         h = h0
     else:
         h = jnp.clip(jnp.round(h0 / s_in), -127, 127).astype(jnp.int8)
@@ -255,11 +302,44 @@ def yolov2_int8_forward(
     c5 = None
     c5_idx = _LAST_OF_STAGE[4]
 
+    stem_pooled = False
     for i, (conv_p, bn_p, bn_s) in enumerate(blocks[:20]):
         si = _STAGE_OF[i]
         first_of_stage = i == 0 or _STAGE_OF[i - 1] != si
         if first_of_stage and 1 <= si <= 5:
-            h = _pool(h)
+            if not (stem_pooled and si == 1):
+                h = _pool(h)
+
+        if not calibrating and i == 0 and stem == "s2d":
+            # s2d stem: stage-1 conv + 2x2 pool as ONE 4x4/stride-2 conv
+            # (see _s2d_stem_kernel) + a free channelwise phase-max.  The
+            # strided conv reads the ORIGINAL NHWC bytes — no relayout at
+            # all (explicit space-to-depth transposes, f32 or uint8,
+            # measured slower than the problem they solved) — and emits
+            # full 128-lane channels at 1/4 the rows.
+            wl = _s2d_stem_kernel(
+                conv_p["kernel"].astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            xs = h.astype(jnp.bfloat16)  # h == h0 (normalized image)
+            dns = lax.conv_dimension_numbers(
+                xs.shape, wl.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            y = lax.conv_general_dilated(
+                xs, wl, (2, 2), [(1, 1), (1, 1)], dimension_numbers=dns,
+                preferred_element_type=jnp.float32,
+            )
+            g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+            bias = conv_p.get("bias", jnp.zeros_like(bn_p["bias"]))
+            aff_a = jnp.tile(g, 4)
+            aff_b = jnp.tile((bias - bn_s["mean"]) * g + bn_p["bias"], 4)
+            y = _leaky(y * aff_a + aff_b)
+            s_out, z_out = _act_qparams(scales[0])
+            h = _phase_max(_quant_act(y, s_out, z_out))
+            s_prev, z_prev = s_out, z_out
+            stem_pooled = True
+            if stop_after == 0:
+                return h
+            continue
 
         if calibrating:
             y = _conv_f32(h, conv_p["kernel"])
@@ -269,6 +349,27 @@ def yolov2_int8_forward(
             y = _leaky(y)
             amaxes.append(_range_stat(y, stat))
             h = y
+        elif i < bf16_front:
+            # bf16 conv + f32 epilogue; quantize the OUTPUT so the next
+            # int8 layer sees the standard (scales[i]) activation codes.
+            dnf = lax.conv_dimension_numbers(
+                h.shape, conv_p["kernel"].shape, ("NHWC", "HWIO", "NHWC")
+            )
+            y = lax.conv_general_dilated(
+                h.astype(jnp.bfloat16),
+                conv_p["kernel"].astype(jnp.bfloat16),
+                (1, 1), "SAME", dimension_numbers=dnf,
+                preferred_element_type=jnp.float32,
+            )
+            g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+            bias = conv_p.get("bias", jnp.zeros_like(bn_p["bias"]))
+            y = _leaky((y + bias - bn_s["mean"]) * g + bn_p["bias"])
+            s_out, z_out = _act_qparams(scales[i])
+            if i + 1 < bf16_front:
+                h = y.astype(jnp.bfloat16)  # stay float until the switch
+            else:
+                h = _quant_act(y, s_out, z_out)
+            s_prev, z_prev = s_out, z_out
         else:
             wq, sw = _quant_w(conv_p["kernel"])
             a, b = _affine(conv_p, bn_p, bn_s, sw, s_prev)
@@ -289,6 +390,11 @@ def yolov2_int8_forward(
         if i == c5_idx:
             c5 = h
             s_c5, z_c5 = s_prev, z_prev
+        if stop_after == i:
+            # Profiling probe (scripts/profile_int8_stages.py): truncate the
+            # REAL engine program after backbone conv i — prefix timing
+            # diffs give the per-stage cost of the compiled product path.
+            return h
 
     # Quadrant passthrough + concat: re-quantize both sides to a common
     # scale (int8 path only; f32 concatenates directly).
@@ -313,6 +419,9 @@ def yolov2_int8_forward(
             [requant(quad, s_c5, z_c5), requant(h, s_prev, z_prev)], -1
         )
 
+    if stop_after == 21:  # after the quadrant concat / requant
+        return neck_in
+
     conv_p, bn_p, bn_s = blocks[20]
     if calibrating:
         y = _conv_f32(neck_in, conv_p["kernel"])
@@ -329,6 +438,8 @@ def yolov2_int8_forward(
         acc = _conv_i8(neck_in, wq).astype(jnp.float32)
         acc = acc + _zp_border_correction(wq, z_cat, neck_in.shape[1:3])
         neck = _leaky(acc * a + b)
+    if stop_after == 22:  # after the neck conv
+        return neck
 
     # Head 1x1 conv stays in bf16 on the f32 neck output (last-layer
     # higher precision, the standard PTQ practice: it is ~0.1% of the

@@ -71,6 +71,30 @@ def test_infer_fn_int8_scales_end_to_end(setup):
         assert dists.min() < 4.0  # a close int8 counterpart exists
 
 
+def test_s2d_stem_bitwise_matches_bf16_front(setup):
+    """The 4x4/stride-2 lifted-kernel stem (stem='s2d', PROFILE.md round 4
+    'the front') is a pure REFORMULATION of [bf16 conv0 -> quant -> pool]:
+    the extra kernel taps are exact zeros, quantization commutes with the
+    monotone phase-max, so its int8 codes after conv1's input must equal
+    the bf16_front=1 path EXACTLY — and the final head must stay within
+    the plain engine's first-conv precision difference."""
+    model, variables, img = setup
+    scales = calibrate(variables, img)
+    a = yolov2_int8_forward(variables, img, scales=scales, bf16_front=1,
+                            stop_after=1)
+    b = yolov2_int8_forward(variables, img, scales=scales, stem="s2d",
+                            stop_after=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    head_plain = yolov2_int8_forward(variables, img, scales=scales)
+    head_s2d = yolov2_int8_forward(variables, img, scales=scales, stem="s2d")
+    ref = np.asarray(model.apply(variables, img, train=False))
+    err_plain = np.abs(np.asarray(head_plain) - ref).max()
+    err_s2d = np.abs(np.asarray(head_s2d) - ref).max()
+    # the bf16 first conv can only help accuracy (allow float noise)
+    assert err_s2d <= err_plain + 1e-3, (err_s2d, err_plain)
+
+
 def test_detector_int8_scales(setup):
     from odc_tpu.eval import Detector
 
