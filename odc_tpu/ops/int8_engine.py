@@ -176,6 +176,54 @@ def _zp_border_correction(wq, z, hw):
     return z * w_out
 
 
+def _zp_border_correction_lifted(wq, z, hw):
+    """Zero-point correction for a LIFTED 3x3 conv (`_s2d_stem_kernel`:
+    4x4/stride-2, explicit padding (1,2), channel layout p*C+c with phase
+    p = pi*2+pj).
+
+    Same math as :func:`_zp_border_correction`, but on the lifted grid a
+    fine-resolution border row maps to exactly one (output row, phase-row)
+    pair: fine row 0 is (i=0, pi=0) and fine row 2H-1 is (i=H-1, pi=1) —
+    so the top-edge kernel mass applies only to the pi=0 channel groups of
+    output row 0, the bottom edge only to the pi=1 groups of row H-1, and
+    likewise for columns.  Still rank-1 iota broadcasts; XLA fuses it into
+    the dequant epilogue.  ``hw`` is the lifted OUTPUT spatial shape."""
+    h, w = hw
+    wf = wq.astype(jnp.float32)
+    wtop = wf[0].sum((0, 1))
+    wbot = wf[-1].sum((0, 1))
+    wleft = wf[:, 0].sum((0, 1))
+    wright = wf[:, -1].sum((0, 1))
+    wtl = wf[0, 0].sum(0)
+    wtr = wf[0, -1].sum(0)
+    wbl = wf[-1, 0].sum(0)
+    wbr = wf[-1, -1].sum(0)
+    zz = jnp.zeros_like(wtop)
+
+    # phase order p = pi*2 + pj: (0,0), (0,1), (1,0), (1,1)
+    top_v = jnp.concatenate([wtop, wtop, zz, zz])
+    bot_v = jnp.concatenate([zz, zz, wbot, wbot])
+    left_v = jnp.concatenate([wleft, zz, wleft, zz])
+    right_v = jnp.concatenate([zz, wright, zz, wright])
+    tl_v = jnp.concatenate([wtl, zz, zz, zz])
+    tr_v = jnp.concatenate([zz, wtr, zz, zz])
+    bl_v = jnp.concatenate([zz, zz, wbl, zz])
+    br_v = jnp.concatenate([zz, zz, zz, wbr])
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    top = (row == 0).astype(jnp.float32)
+    bot = (row == h - 1).astype(jnp.float32)
+    left = (col == 0).astype(jnp.float32)
+    right = (col == w - 1).astype(jnp.float32)
+    w_out = (
+        top * top_v + bot * bot_v + left * left_v + right * right_v
+        - top * left * tl_v - top * right * tr_v
+        - bot * left * bl_v - bot * right * br_v
+    )
+    return z * w_out
+
+
 def _s2d_stem_kernel(k):
     """Lift the stage-1 3x3/s1 conv kernel [3,3,Cin,Cout] to a 4x4/s2
     kernel [4,4,Cin,4*Cout] computing all 4 output phases at once.
@@ -262,6 +310,14 @@ def yolov2_int8_forward(
 
     With ``scales=None``: f32 calibration mode — returns
     (head, ranges [22, 2]) with this batch's observed values.
+
+    ``stem``: ``"plain"`` quantizes from the first conv; ``"s2d"``
+    (the `make_infer_fn` default) folds conv0+pool into one 4x4/stride-2
+    bf16 conv — faster AND strictly more accurate (PROFILE.md round 4
+    "the front"); ``"s2d2"`` additionally lifts conv1+pool in int8 —
+    bitwise-equal to ``"s2d"`` but measured SLOWER (the 16/9 MAC overhead
+    of the lift beats its lane-fill gain at conv1's shape; kept as the
+    documented negative result).
     """
     blocks = _blocks(variables)
     calibrating = scales is None
@@ -284,9 +340,11 @@ def yolov2_int8_forward(
     h0 = (images.astype(jnp.float32) / 255.0 - mean) / std
     s_in = jnp.float32(_INPUT_AMAX / 127.0)
 
-    if stem not in ("plain", "s2d"):
-        raise ValueError(f"stem must be 'plain' or 's2d', got {stem!r}")
-    if calibrating or bf16_front > 0 or stem == "s2d":
+    if stem not in ("plain", "s2d", "s2d2"):
+        raise ValueError(
+            f"stem must be 'plain', 's2d' or 's2d2', got {stem!r}"
+        )
+    if calibrating or bf16_front > 0 or stem != "plain":
         # bf16_front: the leading convs run in bf16 — XLA's int8 conv path
         # is ~3x SLOWER than its bf16 one at tiny channel counts (measured
         # conv0 9.8 ms int8 vs 3.6 bf16 at bs=256, PROFILE.md round 4), so
@@ -302,15 +360,15 @@ def yolov2_int8_forward(
     c5 = None
     c5_idx = _LAST_OF_STAGE[4]
 
-    stem_pooled = False
+    pooled_to = 0  # stages whose entry pool a lifted conv already fused
     for i, (conv_p, bn_p, bn_s) in enumerate(blocks[:20]):
         si = _STAGE_OF[i]
         first_of_stage = i == 0 or _STAGE_OF[i - 1] != si
         if first_of_stage and 1 <= si <= 5:
-            if not (stem_pooled and si == 1):
+            if si > pooled_to:
                 h = _pool(h)
 
-        if not calibrating and i == 0 and stem == "s2d":
+        if not calibrating and i == 0 and stem in ("s2d", "s2d2"):
             # s2d stem: stage-1 conv + 2x2 pool as ONE 4x4/stride-2 conv
             # (see _s2d_stem_kernel) + a free channelwise phase-max.  The
             # strided conv reads the ORIGINAL NHWC bytes — no relayout at
@@ -336,8 +394,41 @@ def yolov2_int8_forward(
             s_out, z_out = _act_qparams(scales[0])
             h = _phase_max(_quant_act(y, s_out, z_out))
             s_prev, z_prev = s_out, z_out
-            stem_pooled = True
+            pooled_to = 1
             if stop_after == 0:
+                return h
+            continue
+
+        if not calibrating and i == 1 and stem == "s2d2":
+            # Lifted conv1: the same 4x4/stride-2 lift applied to the
+            # stage-2 3x3 conv + its following pool, in INT8 — the lifted
+            # int8 kernel is exact (zero extra taps), the zero-point
+            # interior term folds into the tiled bias, and the border term
+            # uses the phase-aware rank-1 correction.  conv1's 64 output
+            # channels half-fill the 128 lanes at 208^2; lifted it emits
+            # 256 channels at 104^2 and skips the intermediate 208^2x64
+            # activation round-trip entirely.
+            wq, sw = _quant_w(conv_p["kernel"])
+            a, b = _affine(conv_p, bn_p, bn_s, sw, s_prev)
+            wsum = jnp.sum(wq.astype(jnp.float32), axis=(0, 1, 2))
+            a4 = jnp.tile(a, 4)
+            b4 = jnp.tile(b - z_prev * wsum * a, 4)
+            wl = _s2d_stem_kernel(wq)
+            dns = lax.conv_dimension_numbers(
+                h.shape, wl.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            acc = lax.conv_general_dilated(
+                h, wl, (2, 2), [(1, 1), (1, 1)], dimension_numbers=dns,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            out_hw = (h.shape[1] // 2, h.shape[2] // 2)
+            acc = acc + _zp_border_correction_lifted(wq, z_prev, out_hw)
+            y = _leaky(acc * a4 + b4)
+            s_out, z_out = _act_qparams(scales[1])
+            h = _phase_max(_quant_act(y, s_out, z_out))
+            s_prev, z_prev = s_out, z_out
+            pooled_to = 2
+            if stop_after == 1:
                 return h
             continue
 

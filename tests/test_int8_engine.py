@@ -95,6 +95,28 @@ def test_s2d_stem_bitwise_matches_bf16_front(setup):
     assert err_s2d <= err_plain + 1e-3, (err_s2d, err_plain)
 
 
+def test_s2d2_lifted_conv1_bitwise_matches_s2d(setup):
+    """The stage-2 lift (stem='s2d2') is an exact int8 reformulation of
+    [3x3 int8 conv1 -> requant -> pool]: the lifted kernel's extra taps are
+    int8 zeros, the interior zero-point term folds into the tiled bias, and
+    the phase-aware border correction reproduces the 3x3 analytic one at
+    every fine position — so the stage-2 output codes must be BITWISE equal
+    (measured SLOWER on the real chip — the 16/9 MAC overhead of the lift
+    beats its lane-fill gain at conv1's shape; kept as a documented option,
+    PROFILE.md round 4 'the front')."""
+    from odc_tpu.ops.int8_engine import _pool
+
+    model, variables, img = setup
+    scales = calibrate(variables, img)
+    a = _pool(
+        yolov2_int8_forward(variables, img, scales=scales, stem="s2d",
+                            stop_after=1)
+    )
+    b = yolov2_int8_forward(variables, img, scales=scales, stem="s2d2",
+                            stop_after=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_detector_int8_scales(setup):
     from odc_tpu.eval import Detector
 
