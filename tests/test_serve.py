@@ -1,0 +1,152 @@
+"""AOT serving engine: export/load roundtrip fidelity, the container
+contract, batch padding, the int8 engine artifact, and the reference
+``annot_pred`` output surface (``models/yolov1.py:545-553``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from odc_tpu.models import YOLOv1, YOLOv2
+from odc_tpu.ops.detect import make_infer_fn
+from odc_tpu.serve import export_engine, load_engine, save_engine
+
+
+@pytest.fixture(scope="module")
+def v2_setup():
+    rng = np.random.default_rng(0)
+    model = YOLOv2(dtype=jnp.float32)
+    img = jnp.asarray(rng.integers(0, 255, (2, 96, 128, 3), dtype=np.uint8))
+    variables = model.init(jax.random.key(0), img)
+    return model, variables, np.asarray(img)
+
+
+def test_roundtrip_matches_direct_jit(v2_setup, tmp_path):
+    model, variables, img = v2_setup
+    data = export_engine(
+        model, variables, batch_size=2, image_hw=(96, 128),
+        conf_thre=0.0, max_keep=16,
+    )
+    path = tmp_path / "v2.odce"
+    save_engine(str(path), data)
+    eng = load_engine(str(path))
+
+    assert eng.manifest["model"] == "YOLOv2"
+    assert eng.manifest["precision"] == "bf16"
+    assert eng.manifest["outputs"] == ["boxes", "conf", "cls_scores", "keep"]
+
+    got = eng.predict(img, conf_thre=0.0, iou_thre=0.5)
+    ref_fn = jax.jit(make_infer_fn(model, 0.0, 0.5, 16))
+    ref = [np.asarray(o) for o in ref_fn(variables, jnp.asarray(img), 0.0, 0.5)]
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
+def test_padding_and_input_validation(v2_setup):
+    model, variables, img = v2_setup
+    eng = load_engine(
+        export_engine(model, variables, batch_size=2, image_hw=(96, 128),
+                      conf_thre=0.0, max_keep=16)
+    )
+    # n < compiled batch: padded on host, trimmed outputs
+    one = eng.predict(img[:1], conf_thre=0.0)
+    full = eng.predict(img, conf_thre=0.0)
+    for a, b in zip(one, full):
+        assert a.shape[0] == 1
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError):
+        eng.predict(np.zeros((3, 96, 128, 3), np.uint8))
+    with pytest.raises(ValueError):
+        eng.predict(np.zeros((1, 64, 64, 3), np.uint8))
+    with pytest.raises(ValueError):
+        load_engine(b"not an engine blob")
+
+
+def test_compact_annots_contract(v2_setup):
+    model, variables, img = v2_setup
+    eng = load_engine(
+        export_engine(model, variables, batch_size=2, image_hw=(96, 128),
+                      conf_thre=0.0, max_keep=16, compact=True)
+    )
+    assert eng.manifest["outputs"][2] == "label"
+    annots = eng.predict_annots(img, conf_thre=0.0)
+    assert len(annots) == 2
+    for a in annots:
+        n = len(a["bbox_list"])
+        assert n > 0  # conf_thre=0 keeps something
+        assert len(a["lbl_list"]) == n
+        assert len(a["conf_score_list"]) == n
+        assert len(a["cls_spec_conf_score_list"]) == n
+        assert all(
+            lbl in eng.manifest["cls_list"] for lbl in a["lbl_list"]
+        )
+        assert all(len(b) == 4 for b in a["bbox_list"])
+
+
+def test_int8_engine_artifact(v2_setup):
+    """Artifact fidelity is judged against a jit of the SAME
+    weights-closed-over callable the export lowered: with weights passed
+    as jit *arguments* instead, XLA's constant-folding differences shift
+    the engine's requant rounds by one code at tie points, and on a
+    random-init model near-tied confidences then reorder the NMS kept set
+    (same effect as tests/test_int8_engine.py's robust-threshold note) —
+    that is engine-vs-engine compilation noise, not an export defect."""
+    from odc_tpu.ops.int8_engine import calibrate
+
+    model, variables, img = v2_setup
+    scales = calibrate(variables, jnp.asarray(img))
+    eng = load_engine(
+        export_engine(model, variables, batch_size=2, image_hw=(96, 128),
+                      conf_thre=0.0, max_keep=16, int8_scales=scales)
+    )
+    assert eng.manifest["precision"] == "int8_full"
+    assert eng.manifest["int8_stem"] == "s2d"
+    got = eng.predict(img, conf_thre=0.0, iou_thre=0.5)
+    infer = make_infer_fn(model, 0.0, 0.5, 16, int8_scales=scales)
+    consts = jax.tree.map(jnp.asarray, variables)
+    ref_fn = jax.jit(lambda im, c, i: infer(consts, im, c, i))
+    ref = [np.asarray(o) for o in ref_fn(jnp.asarray(img), 0.0, 0.5)]
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
+def test_yolov1_artifact():
+    rng = np.random.default_rng(1)
+    model = YOLOv1(
+        num_grid_cell_in_height=2, num_grid_cell_in_width=2,
+        dtype=jnp.float32,
+    )
+    img = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    variables = model.init(jax.random.key(0), img)
+    eng = load_engine(
+        export_engine(model, variables, batch_size=2, image_hw=(64, 64),
+                      conf_thre=0.0, max_keep=8)
+    )
+    assert eng.manifest["model"] == "YOLOv1"
+    assert eng.manifest["weights_dtype"] == "checkpoint"
+    got = eng.predict(np.asarray(img), conf_thre=0.0)
+    ref_fn = jax.jit(make_infer_fn(model, 0.0, 0.5, 8))
+    ref = [np.asarray(o) for o in ref_fn(variables, img, 0.0, 0.5)]
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+    # bf16-baked variant: half the artifact, small head shift only
+    small = export_engine(model, variables, batch_size=2, image_hw=(64, 64),
+                          conf_thre=0.0, max_keep=8,
+                          weights_dtype=jnp.bfloat16)
+    eng16 = load_engine(small)
+    assert eng16.manifest["weights_dtype"] == "bfloat16"
+    g16 = eng16.predict(np.asarray(img), conf_thre=0.0)
+    # random-init confs are near-tied, so the kept SET may reorder under
+    # the ~0.4% bf16 weight shift — require count sanity + that each bf16
+    # box has a close f32 counterpart (same robustness rationale as
+    # tests/test_int8_engine.py).
+    k0 = got[3][0].astype(bool)
+    k1 = g16[3][0].astype(bool)
+    assert k1.sum() > 0
+    assert abs(int(k0.sum()) - int(k1.sum())) <= max(2, int(0.5 * k0.sum()))
+    d = np.abs(
+        got[0][0][k0][None, :, :] - g16[0][0][k1][:, None, :]
+    ).max(-1).min(-1)
+    assert d.max() < 4.0

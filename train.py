@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=-1,
                    help="devices on the data mesh axis (-1: all)")
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force the JAX platform (use 'cpu' for smoke runs: "
+                   "some environments pin jax_platforms programmatically at "
+                   "interpreter start, so the JAX_PLATFORMS env var alone "
+                   "may be overridden)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate and train on a tiny synthetic VOC")
     p.add_argument("--resume", default=None,
@@ -57,6 +62,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from odc_tpu.config import BATCH_SIZE, MODEL_CONFIG, TRAIN_CONFIG
     from odc_tpu.data.pipeline import DetectionPipeline
