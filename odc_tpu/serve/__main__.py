@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--image-size", type=int, default=None,
                    help="square input size (default: 224 v1 / 416 v2)")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="export with a symbolic batch dimension: one "
+                   "artifact serves every batch size (one device compile "
+                   "per distinct size at load time)")
     p.add_argument("--conf-thre", type=float, default=0.9)
     p.add_argument("--iou-thre", type=float, default=0.5)
     p.add_argument("--max-keep", type=int, default=64)
@@ -112,7 +116,7 @@ def main():
     data = export_engine(
         model,
         variables,
-        batch_size=args.batch_size,
+        batch_size=None if args.dynamic_batch else args.batch_size,
         image_hw=(size, size),
         conf_thre=args.conf_thre,
         iou_thre=args.iou_thre,
@@ -129,8 +133,9 @@ def main():
         ),
     )
     save_engine(args.out, data)
+    bs = "dynamic" if args.dynamic_batch else args.batch_size
     print(f"wrote {args.out}: {len(data) / 1e6:.1f} MB "
-          f"({'int8' if args.int8 else 'bf16'}, bs={args.batch_size}, "
+          f"({'int8' if args.int8 else 'bf16'}, bs={bs}, "
           f"{size}x{size})")
 
 

@@ -47,7 +47,7 @@ def export_engine(
     model,
     variables,
     *,
-    batch_size: int,
+    batch_size: Optional[int],
     image_hw: Tuple[int, int],
     conf_thre: float = 0.9,
     iou_thre: float = 0.5,
@@ -69,6 +69,12 @@ def export_engine(
     keep).  ``platforms`` defaults to the current backend; pass e.g.
     ``("tpu", "cpu")`` for a multi-platform artifact (larger, but runs on
     either).
+
+    ``batch_size=None`` exports with a SYMBOLIC batch dimension
+    (``jax.export`` shape polymorphism): one artifact serves every batch
+    size, at the cost of one device compile per distinct size at load
+    time — production hosts should still bucket sizes; fixed-batch
+    artifacts keep the TensorRT-style single-executable guarantee.
     """
     mode = "v1" if type(model).__name__ == "YOLOv1" else "v2"
     infer = make_infer_fn(
@@ -101,12 +107,17 @@ def export_engine(
         return infer(consts, images, conf, iou)
 
     h, w = image_hw
+    from jax import export as jax_export
+
+    if batch_size is None:
+        (bdim,) = jax_export.symbolic_shape("b")
+    else:
+        bdim = batch_size
     args = (
-        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((bdim, h, w, 3), jnp.uint8),
         jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.float32),
     )
-    from jax import export as jax_export
 
     exp = jax_export.export(
         jax.jit(call),
@@ -121,7 +132,7 @@ def export_engine(
     manifest = {
         "format_version": _VERSION,
         "model": type(model).__name__,
-        "batch_size": int(batch_size),
+        "batch_size": int(batch_size) if batch_size is not None else None,
         "image_hw": [int(h), int(w)],
         "max_keep": int(max_keep),
         "cls_list": list(cls_list),
@@ -187,7 +198,8 @@ class ServingEngine:
         self._call = jax.jit(exported.call)
 
     @property
-    def batch_size(self) -> int:
+    def batch_size(self) -> Optional[int]:
+        """Compiled batch, or ``None`` for a symbolic-batch artifact."""
         return self.manifest["batch_size"]
 
     def predict(
@@ -201,16 +213,17 @@ class ServingEngine:
         h, w = self.manifest["image_hw"]
         if images.ndim != 4 or images.shape[1:] != (h, w, 3):
             raise ValueError(
-                f"engine expects [n<={b}, {h}, {w}, 3] uint8, got "
-                f"{images.shape}"
+                f"engine expects [n{f'<={b}' if b else ''}, {h}, {w}, 3] "
+                f"uint8, got {images.shape}"
             )
         n = images.shape[0]
-        if n > b:
-            raise ValueError(f"batch {n} exceeds compiled batch {b}")
-        if n < b:
-            images = np.concatenate(
-                [images, np.zeros((b - n, h, w, 3), np.uint8)], 0
-            )
+        if b is not None:
+            if n > b:
+                raise ValueError(f"batch {n} exceeds compiled batch {b}")
+            if n < b:
+                images = np.concatenate(
+                    [images, np.zeros((b - n, h, w, 3), np.uint8)], 0
+                )
         out = self._call(
             jnp.asarray(images, jnp.uint8),
             jnp.float32(

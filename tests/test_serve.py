@@ -84,6 +84,28 @@ def test_compact_annots_contract(v2_setup):
         assert all(len(b) == 4 for b in a["bbox_list"])
 
 
+def test_symbolic_batch_artifact(v2_setup):
+    """batch_size=None exports a shape-polymorphic artifact: one file
+    serves every batch size, and its outputs match the static-batch
+    engine exactly."""
+    model, variables, img = v2_setup
+    eng = load_engine(
+        export_engine(model, variables, batch_size=None, image_hw=(96, 128),
+                      conf_thre=0.0, max_keep=16)
+    )
+    assert eng.manifest["batch_size"] is None
+    one = eng.predict(img[:1], conf_thre=0.0)
+    three = eng.predict(
+        np.concatenate([img, img[:1]], 0), conf_thre=0.0
+    )
+    assert three[0].shape[0] == 3
+    for a, b in zip(one, three):
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-5, atol=1e-5)
+    # shape contract still validated
+    with pytest.raises(ValueError):
+        eng.predict(np.zeros((1, 64, 64, 3), np.uint8))
+
+
 def test_int8_engine_artifact(v2_setup):
     """Artifact fidelity is judged against a jit of the SAME
     weights-closed-over callable the export lowered: with weights passed
