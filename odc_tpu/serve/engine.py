@@ -77,6 +77,13 @@ def export_engine(
     artifacts keep the TensorRT-style single-executable guarantee.
     """
     mode = "v1" if type(model).__name__ == "YOLOv1" else "v2"
+    if int8_scales is not None and mode != "v2":
+        # Silently exporting a bf16 artifact while the manifest claims
+        # int8_full would mislabel every downstream measurement (the same
+        # failure class the round-3 advisor flagged on
+        # evaluate_batched_native).
+        raise ValueError("int8_scales is YOLOv2-only (PROFILE.md "
+                         "'int8 and YOLOv1')")
     infer = make_infer_fn(
         model,
         conf_thre,
@@ -84,7 +91,7 @@ def export_engine(
         max_keep,
         class_wise=class_wise,
         compact=compact,
-        int8_scales=int8_scales if mode == "v2" else None,
+        int8_scales=int8_scales,
         int8_stem=int8_stem,
     )
     # Close over the weights: they become StableHLO module constants — the

@@ -84,6 +84,21 @@ def test_compact_annots_contract(v2_setup):
         assert all(len(b) == 4 for b in a["bbox_list"])
 
 
+def test_multi_platform_artifact(v2_setup):
+    """platforms=("cpu","tpu") lowers one artifact for both backends —
+    the deserialized module dispatches on the platform it runs under (here
+    CPU; a TPU host would pick the tpu branch of the same file)."""
+    model, variables, img = v2_setup
+    eng = load_engine(
+        export_engine(model, variables, batch_size=2, image_hw=(96, 128),
+                      conf_thre=0.0, max_keep=16, platforms=("cpu", "tpu"))
+    )
+    assert set(eng.manifest["platforms"]) == {"cpu", "tpu"}
+    got = eng.predict(img, conf_thre=0.0)
+    assert got[0].shape == (2, 16, 4)
+    assert np.isfinite(got[0]).all()
+
+
 def test_symbolic_batch_artifact(v2_setup):
     """batch_size=None exports a shape-polymorphic artifact: one file
     serves every batch size, and its outputs match the static-batch
@@ -152,6 +167,11 @@ def test_yolov1_artifact():
     ref = [np.asarray(o) for o in ref_fn(variables, img, 0.0, 0.5)]
     for g, r in zip(got, ref):
         np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+    # int8 config must be rejected loudly for v1, not silently dropped
+    with pytest.raises(ValueError):
+        export_engine(model, variables, batch_size=2, image_hw=(64, 64),
+                      int8_scales=np.zeros((22, 2), np.float32))
 
     # bf16-baked variant: half the artifact, small head shift only
     small = export_engine(model, variables, batch_size=2, image_hw=(64, 64),
