@@ -4,3 +4,4 @@ from odc_tpu.serve.engine import (  # noqa: F401
     load_engine,
     save_engine,
 )
+from odc_tpu.serve.server import BatchingServer  # noqa: F401

@@ -48,6 +48,11 @@ def parse_args():
                    choices=["plain", "s2d", "s2d2"])
     p.add_argument("--calib", default=None,
                    help="uint8 [N,H,W,3] .npy for int8 calibration")
+    p.add_argument("--scales", default=None,
+                   help="precomputed [22,2] activation-scale .npy (e.g. "
+                   "the int8_scales.npy a QAT fine-tune wrote — QAT "
+                   "weights are only valid with THEIR frozen scales); "
+                   "skips calibration")
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering platforms, e.g. tpu,cpu")
     p.add_argument("--weights-dtype", default=None,
@@ -99,7 +104,9 @@ def main():
                              "'int8 and YOLOv1')")
         from odc_tpu.ops.int8_engine import calibrate
 
-        if args.calib:
+        if args.scales:
+            int8_scales = jnp.asarray(np.load(args.scales), jnp.float32)
+        elif args.calib:
             calib_imgs = jnp.asarray(np.load(args.calib), jnp.uint8)
             if calib_imgs.shape[1:3] != (size, size):
                 raise SystemExit(
@@ -111,7 +118,8 @@ def main():
             calib_imgs = jax.random.randint(
                 jax.random.key(1), (8, size, size, 3), 0, 256, jnp.int32
             ).astype(jnp.uint8)
-        int8_scales = calibrate(variables, calib_imgs)
+        if int8_scales is None:
+            int8_scales = calibrate(variables, calib_imgs)
 
     data = export_engine(
         model,

@@ -10,8 +10,20 @@ device-augmentation row.
 
 Usage:
   python scripts/int8_accuracy_study.py [epochs] [warp_impl] [lr] [conf] \
-      [size] [full|norot|noaug]
+      [size] [full|norot|noaug] [qat_epochs] [qat_lr] [state_ckpt]
 Writes /tmp/int8_study.json and prints a markdown table.
+
+``state_ckpt``: path to cache the trained TrainState — if the file
+exists, training is skipped and the state is loaded (the synthetic data,
+calibration slice and val split are deterministic, so all downstream
+rows reproduce); otherwise the state is saved there after training.
+Lets the QAT phase iterate without retraining.
+
+With ``qat_epochs > 0`` the study appends the QAT phase (round 4): a
+short quantization-aware fine-tune (``odc_tpu.ops.qat``, exact=True —
+the loss is evaluated on the DEPLOYED engine bitwise, activation scales
+frozen to the calibration) and re-measures the same val rows, i.e. how
+much of PTQ's mAP@.5 gap the fine-tune recovers.
 
 Protocol notes: the backbone trains FROM SCRATCH (no pretrained weights in
 this environment), so the task must be sized to be learnable from 256
@@ -41,6 +53,9 @@ BASE_LR = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-3
 CONF_THRE = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
 SIZE = int(sys.argv[5]) if len(sys.argv) > 5 else 416
 AUG = sys.argv[6] if len(sys.argv) > 6 else "full"  # full|norot|noaug
+QAT_EPOCHS = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+QAT_LR = float(sys.argv[8]) if len(sys.argv) > 8 else None  # default BASE_LR/20
+STATE_CKPT = sys.argv[9] if len(sys.argv) > 9 else None
 BS = 64
 HW = (SIZE, SIZE)
 
@@ -103,7 +118,17 @@ def main():
         rng = jax.random.key(1)
         host_rng = np.random.default_rng(0)
         step_times = []
-        for epoch in range(1, EPOCHS + 1):
+        losses = [float("nan")]
+        if STATE_CKPT and os.path.exists(STATE_CKPT):
+            from odc_tpu.train import checkpoint as ckpt_lib
+
+            state = ckpt_lib.restore(STATE_CKPT, state)
+            print(f"# loaded trained state from {STATE_CKPT}; skipping "
+                  f"training", file=sys.stderr)
+            train_epochs = ()
+        else:
+            train_epochs = range(1, EPOCHS + 1)
+        for epoch in train_epochs:
             perm = host_rng.permutation(n)
             ep_losses = []
             t1 = time.time()
@@ -125,6 +150,12 @@ def main():
                 print(f"# epoch {epoch}: loss {np.mean(losses):.3f}",
                       file=sys.stderr)
 
+        if STATE_CKPT and not os.path.exists(STATE_CKPT):
+            from odc_tpu.train import checkpoint as ckpt_lib
+
+            ckpt_lib.save(STATE_CKPT, state)
+            print(f"# saved trained state to {STATE_CKPT}", file=sys.stderr)
+
         trained = {"params": state.params, "batch_stats": state.batch_stats}
         calib = slice_batch(data, jnp.arange(32)).image
         scales = calibrate(trained, calib)
@@ -139,9 +170,10 @@ def main():
         val_dev = jnp.asarray(val_imgs)
         jax.block_until_ready(val_dev)
 
-        def val_map(**kw):
+        def val_map(variables=trained, **kw):
             det = Detector(
-                model, trained, conf_thre=CONF_THRE, iou_thre=0.5, max_keep=32, **kw
+                model, variables, conf_thre=CONF_THRE, iou_thre=0.5,
+                max_keep=32, **kw
             )
             acc = APAccumulator(det.cls_list)
             boxes_b, _c, lbl_b, score_b, keep_b = det.infer_batch_compact(
@@ -170,16 +202,144 @@ def main():
         rows["int8_neck"] = val_map(int8_neck=True)
         rows["int8_full"] = val_map(int8_scales=scales)
 
+        # Engine VAL LOSS (the objective QAT optimizes; continuous, far
+        # less noisy than 64-image mAP): batched masked-mean yolo_loss of
+        # the deployed engine's output on the val split.
+        from odc_tpu.data.pipeline import DetectionPipeline
+
+        val_pipe = DetectionPipeline(
+            voc.val_dataset, image_hw=HW, batch_size=BS, max_boxes=8,
+            mode="v2", shuffle=False, drop_remainder=False, prefetch=0,
+        )
+        val_batches = [jax.tree.map(jnp.asarray, b) for b in val_pipe]
+
+        def engine_val_loss(variables):
+            from odc_tpu.train.qat import make_engine_eval_step
+            from odc_tpu.train.trainer import TrainState as TS
+
+            ev = make_engine_eval_step(model, Lambdas(), scales)
+            st = TS.create(dict(variables))
+            tot, wsum = 0.0, 0.0
+            for b in val_batches:
+                w = float(np.sum(np.asarray(b.img_id) >= 0))
+                tot += float(ev(st, b)) * w
+                wsum += w
+            return tot / max(wsum, 1.0)
+
+        def float_val_loss(variables):
+            from odc_tpu.train.trainer import TrainState as TS
+            from odc_tpu.train.trainer import make_eval_step
+
+            ev = make_eval_step(
+                model, "v2", Lambdas(), model.anchors,
+                val_loss_mode="batched",
+            )
+            st = TS.create(dict(variables))
+            tot, wsum = 0.0, 0.0
+            for b in val_batches:
+                w = float(np.sum(np.asarray(b.img_id) >= 0))
+                tot += float(ev(st, b)) * w
+                wsum += w
+            return tot / max(wsum, 1.0)
+
+        val_losses = {
+            "ptq": engine_val_loss(trained),
+            "bf16": float_val_loss(trained),
+        }
+
+        qat_step_times = []
+        if QAT_EPOCHS:
+            from odc_tpu.ops.qat import make_qat_train_step
+
+            qat_lr = QAT_LR if QAT_LR is not None else BASE_LR / 20.0
+            aug_cfg = (
+                None if AUG == "noaug"
+                else AugmentConfig(p_rotate=0.0 if AUG == "norot" else 0.5)
+            )
+            qat_step = make_qat_train_step(
+                model, Lambdas(), scales,
+                momentum=0.9, weight_decay=5e-4,
+                augment_cfg=aug_cfg, augment_warp_impl=WARP_IMPL,
+            )
+            # Controlled ablation partner: continued PLAIN training with the
+            # same step count / lr / batch sequence — separates the
+            # QAT-specific effect (quantization-gap closure) from
+            # generic more-training drift on a tiny dataset.
+            cont_step = make_train_step(
+                model, "v2", Lambdas(), model.anchors,
+                momentum=0.9, weight_decay=5e-4,
+                augment_cfg=aug_cfg, augment_warp_impl=WARP_IMPL,
+            )
+
+            def run_finetune(step_fn, tag):
+                # Identical batch order + augmentation draws for both arms.
+                arm_host_rng = np.random.default_rng(123)
+                arm_rng = jax.random.key(7)
+                # Steps donate their state; deep-copy so `trained` (still
+                # referenced by the PTQ rows above) survives donation.
+                st = TrainState.create(jax.tree.map(jnp.copy, trained))
+                final_losses = []
+                for epoch in range(1, QAT_EPOCHS + 1):
+                    perm = arm_host_rng.permutation(n)
+                    ep_losses = []
+                    t1 = time.time()
+                    for i in range(0, n - BS + 1, BS):
+                        batch = slice_batch(
+                            data, jnp.asarray(perm[i : i + BS])
+                        )
+                        arm_rng, sub = jax.random.split(arm_rng)
+                        st, metrics = step_fn(
+                            st, batch, jnp.float32(qat_lr), sub
+                        )
+                        ep_losses.append(metrics["loss"])
+                    final_losses = [float(x) for x in ep_losses]
+                    if tag == "qat" and epoch > 1:
+                        qat_step_times.append(
+                            (time.time() - t1) / len(ep_losses)
+                        )
+                    if epoch % 5 == 0 or epoch == 1:
+                        print(f"# {tag} epoch {epoch}: loss "
+                              f"{np.mean(final_losses):.3f}", file=sys.stderr)
+                return (
+                    {"params": st.params, "batch_stats": st.batch_stats},
+                    final_losses,
+                )
+
+            tuned, losses_q = run_finetune(qat_step, "qat")
+            rows["int8_full_qat"] = val_map(tuned, int8_scales=scales)
+            # What the fine-tune did to the FLOAT model (QAT trains through
+            # the engine's codes; its float mAP may drift).
+            rows["bf16_after_qat"] = val_map(tuned)
+            val_losses["qat"] = engine_val_loss(tuned)
+            val_losses["bf16_after_qat"] = float_val_loss(tuned)
+
+            cont, _ = run_finetune(cont_step, "cont")
+            rows["int8_full_cont"] = val_map(cont, int8_scales=scales)
+            rows["bf16_after_cont"] = val_map(cont)
+            val_losses["cont"] = engine_val_loss(cont)
+            val_losses["bf16_after_cont"] = float_val_loss(cont)
+
         out = {
             "epochs": EPOCHS,
             "warp_impl": WARP_IMPL,
-            "train_step_ms": float(np.median(step_times) * 1e3),
-            "train_img_per_s": float(BS / np.median(step_times)),
+            "train_step_ms": float(np.median(step_times) * 1e3)
+            if step_times else None,
+            "train_img_per_s": float(BS / np.median(step_times))
+            if step_times else None,
             "final_train_loss": float(np.mean(losses)),
             "val": {k: {"mAP@.5": v[0], "mAP[.5:.95]": v[1]}
                     for k, v in rows.items()},
             "device": str(jax.devices()[0]),
         }
+        out["engine_val_loss"] = val_losses
+        if QAT_EPOCHS:
+            out["qat"] = {
+                "epochs": QAT_EPOCHS,
+                "lr": QAT_LR if QAT_LR is not None else BASE_LR / 20.0,
+                "final_loss": float(np.mean(losses_q)),
+                "step_ms": float(np.median(qat_step_times) * 1e3)
+                if qat_step_times else None,
+            }
         with open("/tmp/int8_study.json", "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out, indent=2))

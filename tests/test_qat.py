@@ -108,6 +108,61 @@ def test_qat_rejects_non_engine_model():
         make_qat_train_step(model, Lambdas(), jnp.ones((22, 2)))
 
 
+def test_finetune_qat_driver(tmp_path):
+    """The user-facing QAT driver (odc_tpu.train.qat / train.py --qat):
+    checkpoint -> pipeline calibration -> fine-tune epochs -> tuned
+    best/final checkpoints + the frozen scales artifact."""
+    import os
+
+    from odc_tpu.data.pipeline import DetectionPipeline
+    from odc_tpu.data.voc import VOC, make_synthetic_voc
+    from odc_tpu.train import TrainState
+    from odc_tpu.train.qat import calibrate_from_pipeline, finetune_qat
+
+    root = str(tmp_path / "voc")
+    make_synthetic_voc(root, num_train=8, num_val=4, image_hw=(96, 96))
+    voc = VOC(dataset_dir=root)
+    hw = (96, 96)
+    train_pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=hw, batch_size=4, max_boxes=4,
+        mode="v2", prefetch=0,
+    )
+    val_pipe = DetectionPipeline(
+        voc.val_dataset, image_hw=hw, batch_size=4, max_boxes=4,
+        mode="v2", shuffle=False, drop_remainder=False, prefetch=0,
+    )
+
+    model = YOLOv2(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1,) + hw + (3,), jnp.uint8)
+    )
+    scales = calibrate_from_pipeline(variables, train_pipe, num_batches=1)
+    assert scales.shape == (22, 2)
+
+    ckpt_dir = str(tmp_path / "qat_ckpt")
+    bs_before = jax.tree.map(np.copy, variables["batch_stats"])
+    state, hist = finetune_qat(
+        model, TrainState.create(variables), train_pipe, val_pipe, scales,
+        ckpt_path=ckpt_dir, epochs=2, lr=1e-4,
+    )
+    for name in ("best_qat_model.ckpt", "final_qat_model.ckpt",
+                 "int8_scales.npy", "metrics.jsonl"):
+        assert os.path.exists(os.path.join(ckpt_dir, name)), name
+    assert len(hist["train_loss_mean_list"]) == 2
+    assert len(hist["val_loss_list"]) == 2
+    assert all(np.isfinite(v) for v in hist["val_loss_list"])
+    # The shipped scales are the ones the fine-tune froze.
+    np.testing.assert_array_equal(
+        np.load(os.path.join(ckpt_dir, "int8_scales.npy")),
+        np.asarray(scales),
+    )
+    # BN statistics frozen through the driver too.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.batch_stats, bs_before,
+    )
+
+
 def test_qat_finetune_reduces_engine_loss(setup):
     """The deliverable: a few QAT steps (fake-quant forward, STE gradients,
     frozen BN stats) reduce the loss of the DEPLOYED int8 engine evaluated

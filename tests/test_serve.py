@@ -148,6 +148,48 @@ def test_int8_engine_artifact(v2_setup):
         np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
 
 
+def test_cli_scales_export(tmp_path, monkeypatch):
+    """The QAT -> serve handoff: `python -m odc_tpu.serve --int8 --scales
+    int8_scales.npy` bakes the PRECOMPUTED scales (QAT weights are only
+    valid with their frozen scales) instead of recalibrating."""
+    import sys
+
+    from odc_tpu.models import get_model
+    from odc_tpu.ops.int8_engine import calibrate
+    from odc_tpu.serve.__main__ import main
+    from odc_tpu.train import checkpoint as ckpt_lib
+    from odc_tpu.train.trainer import TrainState
+
+    # Build the exact model/template the CLI will rebuild.
+    model = get_model("YOLOv2", image_size=(64, 64))
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.asarray(img))
+    ckpt = tmp_path / "best_qat_model.ckpt"
+    ckpt_lib.save(str(ckpt), TrainState.create(variables))
+    scales = calibrate(variables, jnp.asarray(img))
+    scales_path = tmp_path / "int8_scales.npy"
+    np.save(scales_path, np.asarray(scales))
+
+    out = tmp_path / "m.odce"
+    monkeypatch.setattr(sys, "argv", [
+        "serve", "--model", "YOLOv2", "--ckpt", str(ckpt),
+        "--out", str(out), "--image-size", "64", "--batch-size", "2",
+        "--max-keep", "8", "--int8", "--scales", str(scales_path),
+    ])
+    main()
+
+    eng = load_engine(str(out))
+    assert eng.manifest["precision"] == "int8_full"
+    ref = load_engine(export_engine(
+        model, variables, batch_size=2, image_hw=(64, 64),
+        max_keep=8, int8_scales=scales,
+    ))
+    for g, r in zip(eng.predict(img, conf_thre=0.0),
+                    ref.predict(img, conf_thre=0.0)):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
 def test_yolov1_artifact():
     rng = np.random.default_rng(1)
     model = YOLOv1(

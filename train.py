@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--momentum", type=float, default=None)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--image-size", type=int, default=None,
+                   help="square input-size override, multiple of 32 "
+                   "(default: the model config's 224 v1 / 416 v2 — the "
+                   "reference's resolution axis, yolov2.py:1557-1571)")
     p.add_argument("--no-augment", action="store_true",
                    help="shorthand for --augment none")
     p.add_argument(
@@ -57,6 +61,16 @@ def parse_args():
                    help="checkpoint path to resume from")
     p.add_argument("--eval-map", action="store_true",
                    help="run batched VOC mAP after training")
+    p.add_argument("--qat", default=None, metavar="CKPT",
+                   help="QAT mode (YOLOv2 only): fine-tune this trained "
+                   "checkpoint against the frozen-scales int8 engine "
+                   "(odc_tpu.train.qat) instead of training; writes "
+                   "best/final_qat_model.ckpt + int8_scales.npy")
+    p.add_argument("--qat-epochs", type=int, default=10)
+    p.add_argument("--qat-lr", type=float, default=1e-4)
+    p.add_argument("--qat-calib-batches", type=int, default=1,
+                   help="train batches (un-augmented) to calibrate "
+                   "activation scales on")
     return p.parse_args()
 
 
@@ -85,6 +99,14 @@ def main():
     dataset = VOC(dataset_dir=args.dataset_dir)
 
     model_cfg = MODEL_CONFIG[args.model]
+    if args.image_size is not None:
+        if args.image_size % 32:
+            raise SystemExit("--image-size must be a multiple of 32")
+        model_cfg.image_size = (args.image_size, args.image_size)
+        if args.model == "YOLOv1":
+            # v1's grid is size//32 (224 -> S=7, reference config.py:7-11).
+            model_cfg.num_grid_cell_in_height = args.image_size // 32
+            model_cfg.num_grid_cell_in_width = args.image_size // 32
     train_cfg = TRAIN_CONFIG[args.model]["VOC2012"]
     train_cfg.batch_size = args.batch_size or BATCH_SIZE
     if args.epochs is not None:
@@ -140,6 +162,55 @@ def main():
     )
 
     augment_cfg = AugmentConfig() if aug_mode == "device" else None
+
+    if args.qat:
+        if args.model != "YOLOv2":
+            raise SystemExit("--qat is YOLOv2-only (the int8 engine "
+                             "hardcodes the Darknet-19/quadrant graph; "
+                             "see PROFILE.md 'int8 and YOLOv1')")
+        from odc_tpu.train.qat import calibrate_from_pipeline, finetune_qat
+
+        state = checkpoint.restore(
+            args.qat,
+            Trainer(
+                model, train_pipe, val_pipe, train_cfg, ckpt_path=ckpt_path,
+            ).init_state(),
+        )
+        # Calibration must see un-augmented deployment-distribution pixels.
+        calib_pipe = DetectionPipeline(
+            dataset.train_dataset,
+            image_hw=model_cfg.image_size,
+            batch_size=train_cfg.batch_size,
+            max_boxes=train_cfg.max_boxes,
+            mode="v2",
+            shuffle=False,
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        scales = calibrate_from_pipeline(
+            variables, calib_pipe, num_batches=args.qat_calib_batches
+        )
+        from odc_tpu.losses.yolo_loss import Lambdas
+
+        with mesh:
+            state, _ = finetune_qat(
+                model, state, train_pipe, val_pipe, scales,
+                ckpt_path=ckpt_path, epochs=args.qat_epochs, lr=args.qat_lr,
+                # QAT is a new capability, not reference parity: real
+                # momentum by default (quirk B applies to Trainer only).
+                momentum=(
+                    args.momentum if args.momentum is not None else 0.9
+                ),
+                weight_decay=train_cfg.weight_decay,
+                lambdas=Lambdas(
+                    train_cfg.lambda_xy, train_cfg.lambda_wh,
+                    train_cfg.lambda_conf, train_cfg.lambda_noobj,
+                    train_cfg.lambda_cls,
+                ),
+                augment_cfg=augment_cfg, mesh=mesh,
+            )
+        print(f"done; QAT checkpoints + int8_scales.npy in {ckpt_path}")
+        return
+
     trainer = Trainer(
         model, train_pipe, val_pipe, train_cfg,
         ckpt_path=ckpt_path, augment_cfg=augment_cfg, mesh=mesh,
