@@ -91,6 +91,11 @@ MODEL_CONFIG: Dict[str, ModelConfig] = {
         image_size=(224, 224),  # reference runs v1 at 224 (SURVEY note C)
     ),
     "YOLOv2": ModelConfig(name="YOLOv2", image_size=(416, 416)),
+    # Capability extension: the reference's Darknet-53 never got a model
+    # attached ("YOLOv3 never built", darknet53.py:127-283).
+    "YOLOv3": ModelConfig(
+        name="YOLOv3", num_anchor_box=3, image_size=(416, 416)
+    ),
 }
 
 TRAIN_CONFIG: Dict[str, Dict[str, TrainConfig]] = {
@@ -104,6 +109,17 @@ TRAIN_CONFIG: Dict[str, Dict[str, TrainConfig]] = {
         "VOC2012": TrainConfig(
             learning_rate_list=[1e-3, 1e-4, 1e-5],
             num_epoch_list=[60, 30, 70],
+        )
+    },
+    # New family: v2's schedule shape; λ keys map to the v3 BCE terms
+    # (see odc_tpu.losses.yolov3_loss) with the coord weights at 1.0 —
+    # the darknet defaults, not the v1/v2 paper 5.0.
+    "YOLOv3": {
+        "VOC2012": TrainConfig(
+            learning_rate_list=[1e-3, 1e-4, 1e-5],
+            num_epoch_list=[60, 30, 70],
+            lambda_xy=1.0,
+            lambda_wh=1.0,
         )
     },
 }

@@ -69,11 +69,21 @@ class Detector:
         self.conf_thre = conf_thre
         self.iou_thre = iou_thre
         self.max_keep = max_keep
-        self.mode = "v1" if type(model).__name__ == "YOLOv1" else "v2"
+        self.mode = {"YOLOv1": "v1", "YOLOv3": "v3"}.get(
+            type(model).__name__, "v2"
+        )
+        if (int8_neck or int8_scales is not None) and self.mode != "v2":
+            # Silently dropping the int8 config would evaluate bf16 under
+            # an int8 label (the round-3 advisor's mislabeling class).
+            raise ValueError(
+                "int8_neck/int8_scales are YOLOv2-only (the engine "
+                "hardcodes the Darknet-19/quadrant graph; PROFILE.md "
+                "'int8 and YOLOv1')"
+            )
         self._make_kwargs = dict(
             class_wise=class_wise,
-            int8_neck=int8_neck and self.mode == "v2",
-            int8_scales=int8_scales if self.mode == "v2" else None,
+            int8_neck=int8_neck,
+            int8_scales=int8_scales,
             int8_stem=int8_stem,
         )
         self._infer = jax.jit(
@@ -133,7 +143,11 @@ class Detector:
                iou_thre: Optional[float] = None) -> Dict[str, list]:
         orig_h, orig_w = img.shape[:2]
 
-        if self.mode == "v1":
+        if self.mode in ("v1", "v3"):
+            # v3's top-down upsample+concat needs matched tap sizes, so it
+            # runs at the configured network size (resize in, boxes
+            # inverse-resized out) — the v1-style contract, not v2's
+            # native-size quirk.
             net_hw = self.model.image_size
             x = _resize_host(img, net_hw)
         else:
@@ -153,9 +167,10 @@ class Detector:
         )
         boxes, conf, cls_scores = boxes[0][keep[0]], conf[0][keep[0]], cls_scores[0][keep[0]]
 
-        if self.mode == "v1":
+        if self.mode in ("v1", "v3"):
             # Clip to the network frame (yolov1.py:518-523) then
-            # inverse-resize to the original image (yolov1.py:536-543).
+            # inverse-resize to the original image (yolov1.py:536-543);
+            # v3 follows the same sane contract.
             h, w = net_hw
             boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0.0, w - 1.0)
             boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0.0, h - 1.0)

@@ -46,6 +46,13 @@ _BLOCKS = (  # (downsample_features, repeat)
 
 class Darknet53Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    # The reference's stride-2 convs use padding="valid"
+    # (darknet53.py:26), which does NOT halve dims exactly
+    # (floor((s-3)/2)+1) — its taps can never feed an upsample+concat
+    # FPN, consistent with the backbone being dead code there.  "VALID"
+    # stays the parity default; YOLOv3 passes "SAME" (the actual darknet
+    # pad=1 behavior: exact halving for even sizes, aligned taps).
+    downsample_padding: str = "VALID"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -60,7 +67,8 @@ class Darknet53Backbone(nn.Module):
         taps = {}
         for features, repeat in _BLOCKS:
             h = ConvBnLeaky(
-                features, (3, 3), strides=(2, 2), padding="VALID",
+                features, (3, 3), strides=(2, 2),
+                padding=self.downsample_padding,
                 dtype=self.dtype,
             )(h, train)
             for _ in range(repeat):

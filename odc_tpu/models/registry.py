@@ -7,10 +7,12 @@ from typing import Any, Dict
 
 from odc_tpu.models.yolov1 import YOLOv1
 from odc_tpu.models.yolov2 import YOLOv2
+from odc_tpu.models.yolov3 import YOLOv3
 
 MODEL_REGISTRY: Dict[str, Any] = {
     "YOLOv1": YOLOv1,
     "YOLOv2": YOLOv2,
+    "YOLOv3": YOLOv3,
 }
 
 

@@ -47,8 +47,12 @@ class YoloTargets(NamedTuple):
 
 
 def _split_wh(mode: str):
-    if mode not in ("v1", "v2"):
-        raise ValueError(f"mode must be 'v1' or 'v2', got {mode!r}")
+    # "v3" produces v2-shaped compact targets: YOLOv3's real assignment
+    # (best anchor of 9 across 3 scales) is re-derived on device inside
+    # odc_tpu.losses.yolov3_loss from box/cls/valid alone — the stride-32
+    # cell/sig_txty/twth fields here are simply unused by the v3 loss.
+    if mode not in ("v1", "v2", "v3"):
+        raise ValueError(f"mode must be 'v1', 'v2' or 'v3', got {mode!r}")
 
 
 def assign(

@@ -33,6 +33,18 @@ YOLOV2_ANCHORS: Tuple[Tuple[float, float], ...] = (
     (11.2364, 10.0071),
 )
 
+# YOLOv3 anchors, (width, height) in PIXELS of the network input (the
+# darknet yolov3.cfg values, smallest->largest).  The reference repo never
+# built YOLOv3 (its Darknet-53 backbone is dead code,
+# ``models/backbones/darknet53.py:127-283``); this model family is a
+# capability extension following the paper (Redmon & Farhadi 2018), not a
+# parity target.  Groups of 3 attach to the stride-8/16/32 heads.
+YOLOV3_ANCHORS: Tuple[Tuple[float, float], ...] = (
+    (10.0, 13.0), (16.0, 30.0), (33.0, 23.0),        # stride 8
+    (30.0, 61.0), (62.0, 45.0), (59.0, 119.0),       # stride 16
+    (116.0, 90.0), (156.0, 198.0), (373.0, 326.0),   # stride 32
+)
+
 
 class Detections(NamedTuple):
     """Decoded head output (the reference ``predict()`` 6-tuple)."""
@@ -133,6 +145,64 @@ def decode_v1_preactivated(
     cls_prob = y[..., -num_cls:]  # already sigmoided by the legacy head
     cls_spec = cls_prob[..., None, :] * conf[..., :, None]
     return Detections(sig_txty, sig_twth, boxes, conf, cls_prob, cls_spec)
+
+
+def decode_v3(
+    ys: Sequence[jax.Array],
+    image_hw: Tuple[int, int],
+    anchors: Sequence[Tuple[float, float]] = YOLOV3_ANCHORS,
+) -> Detections:
+    """Decode YOLOv3's three-scale head outputs into ONE flat Detections.
+
+    Args:
+        ys: (y32, y16, y8) raw heads, coarsest first; each
+            [B, Hg, Wg, 3, 5 + C] with Hg = H/stride.
+        image_hw: static (height, width) of the network input in pixels.
+        anchors: 9 (w, h) priors in input PIXELS, smallest->largest
+            (groups of 3 per scale; the stride-32 head uses the largest).
+
+    Per scale: ``bx = (σ(tx) + cx) · stride``, ``bw = a_w · exp(tw)``
+    (anchors are already pixels), ``conf = σ(t_o)``; class probabilities
+    are INDEPENDENT sigmoids (the paper's multi-label head — no softmax,
+    unlike v1/v2).  Fields are flattened to a leading ``[B, ΣHg·Wg·3]``
+    box axis so the downstream e2e path (``odc_tpu.ops.detect`` /
+    NMS / serving export) composes unchanged.
+    """
+    h, w = image_hw
+    num_scales = len(ys)
+    flat: list = [[] for _ in range(6)]
+    for s, y in enumerate(ys):
+        b, hg, wg, a, d = y.shape
+        # Coarsest head first: (num_scales-1-s) indexes the anchor groups
+        # smallest->largest.
+        grp = jnp.asarray(
+            anchors[3 * (num_scales - 1 - s) : 3 * (num_scales - s)],
+            dtype=y.dtype,
+        )  # [3, 2] pixels
+        stride_h = h / hg
+        stride_w = w / wg
+
+        sig_txty = jax.nn.sigmoid(y[..., 0:2])
+        exp_twth = jnp.exp(y[..., 2:4])
+        conf = jax.nn.sigmoid(y[..., 4])
+        cls_prob = jax.nn.sigmoid(y[..., 5:])  # multi-label, no softmax
+
+        cy, cx = _grid_offsets(hg, wg, y.dtype)
+        bx = (sig_txty[..., 0] + cx) * stride_w  # pixels
+        by = (sig_txty[..., 1] + cy) * stride_h
+        bw = grp[:, 0] * exp_twth[..., 0]
+        bh = grp[:, 1] * exp_twth[..., 1]
+        boxes = jnp.stack(
+            [bx - bw / 2, by - bh / 2, bx + bw / 2, by + bh / 2], axis=-1
+        )
+        cls_spec = cls_prob * conf[..., None]
+
+        g = hg * wg * a
+        for i, t in enumerate(
+            (sig_txty, exp_twth, boxes, conf, cls_prob, cls_spec)
+        ):
+            flat[i].append(t.reshape((b, g) + t.shape[4:]))
+    return Detections(*(jnp.concatenate(parts, axis=1) for parts in flat))
 
 
 def decode_v2(

@@ -23,7 +23,7 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="YOLOv2",
-                   choices=["YOLOv1", "YOLOv2"])
+                   choices=["YOLOv1", "YOLOv2", "YOLOv3"])
     p.add_argument("--ckpt", required=True)
     p.add_argument("--params-only", action="store_true",
                    help="--ckpt is a save_params artifact, not a TrainState")
@@ -81,7 +81,7 @@ def main():
             image_size=(size, size),
         )
     else:
-        model = get_model("YOLOv2", image_size=(size, size))
+        model = get_model(args.model, image_size=(size, size))
     variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.uint8)
     )

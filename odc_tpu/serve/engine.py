@@ -76,8 +76,7 @@ def export_engine(
     time — production hosts should still bucket sizes; fixed-batch
     artifacts keep the TensorRT-style single-executable guarantee.
     """
-    mode = "v1" if type(model).__name__ == "YOLOv1" else "v2"
-    if int8_scales is not None and mode != "v2":
+    if int8_scales is not None and type(model).__name__ != "YOLOv2":
         # Silently exporting a bf16 artifact while the manifest claims
         # int8_full would mislabel every downstream measurement (the same
         # failure class the round-3 advisor flagged on

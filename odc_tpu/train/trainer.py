@@ -121,10 +121,18 @@ def make_train_step(
             variables, image, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
-        det = model.decode(y, image.shape[1:3])
-        total, parts = yolo_loss(
-            det, targets, lambdas, mode=mode, anchors=anchors
-        )
+        if mode == "v3":
+            from odc_tpu.losses.yolov3_loss import yolov3_loss
+
+            total, parts = yolov3_loss(
+                y, targets, image.shape[1:3], anchors=anchors,
+                lambdas=lambdas,
+            )
+        else:
+            det = model.decode(y, image.shape[1:3])
+            total, parts = yolo_loss(
+                det, targets, lambdas, mode=mode, anchors=anchors
+            )
         return total, (parts, mut["batch_stats"])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -181,8 +189,24 @@ def make_eval_step(
     def eval_step(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         y = model.apply(variables, batch.image, train=False)
-        det = model.decode(y, batch.image.shape[1:3])
         targets = _targets_of(batch)
+        if mode == "v3":
+            from odc_tpu.losses.yolov3_loss import (
+                yolov3_loss, yolov3_loss_per_image,
+            )
+
+            if val_loss_mode == "per_image":
+                losses, has_box = yolov3_loss_per_image(
+                    y, targets, batch.image.shape[1:3], anchors=anchors,
+                    lambdas=lambdas,
+                )
+                return jnp.sum(losses), jnp.sum(has_box.astype(jnp.float32))
+            total, _ = yolov3_loss(
+                y, targets, batch.image.shape[1:3], anchors=anchors,
+                lambdas=lambdas,
+            )
+            return total
+        det = model.decode(y, batch.image.shape[1:3])
         if val_loss_mode == "per_image":
             losses, has_box = yolo_loss_per_image(
                 det, targets, lambdas, mode=mode, anchors=anchors
@@ -222,10 +246,13 @@ class Trainer:
         self.val_pipeline = val_pipeline
         self.config = config
         self.ckpt_path = ckpt_path
-        self.mode = mode or (
-            "v1" if type(model).__name__ == "YOLOv1" else "v2"
+        self.mode = mode or {
+            "YOLOv1": "v1", "YOLOv3": "v3"
+        }.get(type(model).__name__, "v2")
+        self.anchors = (
+            getattr(model, "anchors", None)
+            if self.mode in ("v2", "v3") else None
         )
-        self.anchors = getattr(model, "anchors", None) if self.mode == "v2" else None
         self.lambdas = Lambdas(
             config.lambda_xy, config.lambda_wh, config.lambda_conf,
             config.lambda_noobj, config.lambda_cls,
@@ -321,7 +348,9 @@ class Trainer:
     # -- full run ------------------------------------------------------------
 
     def _maybe_multiscale(self, epoch: int) -> None:
-        if self.mode != "v2" or not self.config.multiscale_sizes:
+        # v2 per the reference (note D); v3 trains multi-scale in darknet
+        # too, so the capability extends to it.
+        if self.mode not in ("v2", "v3") or not self.config.multiscale_sizes:
             return
         policy = self.config.multiscale_policy
         repick = (

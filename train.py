@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default="YOLOv1", choices=["YOLOv1", "YOLOv2"])
+    p.add_argument("--model", default="YOLOv1",
+                   choices=["YOLOv1", "YOLOv2", "YOLOv3"])
     p.add_argument("--dataset-dir", default="datasets")
     p.add_argument("--ckpt-root", default="ckpts")
     p.add_argument("--batch-size", type=int, default=None)
@@ -128,7 +129,9 @@ def main():
             dtype=dtype,
         )
     else:
-        model = get_model("YOLOv2", image_size=model_cfg.image_size, dtype=dtype)
+        model = get_model(
+            args.model, image_size=model_cfg.image_size, dtype=dtype
+        )
 
     mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
     print(f"mesh: {dict(mesh.shape)}  devices: {len(jax.devices())}")
@@ -145,7 +148,7 @@ def main():
         image_hw=model_cfg.image_size,
         batch_size=train_cfg.batch_size,
         max_boxes=train_cfg.max_boxes,
-        mode="v1" if args.model == "YOLOv1" else "v2",
+        mode={"YOLOv1": "v1", "YOLOv3": "v3"}.get(args.model, "v2"),
         seed=train_cfg.seed,
         augment=host_augment,
     )
@@ -154,7 +157,7 @@ def main():
         image_hw=model_cfg.image_size,
         batch_size=train_cfg.batch_size,
         max_boxes=train_cfg.max_boxes,
-        mode="v1" if args.model == "YOLOv1" else "v2",
+        mode={"YOLOv1": "v1", "YOLOv3": "v3"}.get(args.model, "v2"),
         shuffle=False,
         # Validate over EVERY image like the reference (train.py:68-71);
         # the tail batch is padded, not dropped.
