@@ -91,6 +91,37 @@ def bench_yolov1(batch_sizes=(512, 256, 128), image_size=224) -> dict:
     return {"yolov1_value": 0.0, "yolov1_batch_size": None}
 
 
+def bench_yolov3(batch_sizes=(256, 128, 64), image_size=416) -> dict:
+    """Secondary benchmark: YOLOv3-416 e2e inference (three-scale FPN head,
+    decode+NMS over all 10 647 boxes).  Capability extension — the
+    reference never built YOLOv3 (dead Darknet-53 backbone), so there is
+    no baseline config for it; the number documents the family's
+    single-chip serving rate.  bf16 (the int8 PTQ engine is v2-specific)."""
+    from odc_tpu.models import YOLOv3
+    from odc_tpu.ops.detect import make_infer_fn
+
+    model = YOLOv3(dtype=jnp.bfloat16, image_size=(image_size, image_size))
+    infer = jax.jit(
+        make_infer_fn(model, conf_thre=0.9, iou_thre=0.5, max_keep=64)
+    )
+    rng = np.random.default_rng(2)
+    init_img = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
+    variables = jax.jit(model.init)(jax.random.key(0), init_img)
+
+    for bs in batch_sizes:
+        try:
+            images = jnp.asarray(
+                rng.integers(
+                    0, 255, (bs, image_size, image_size, 3), dtype=np.uint8
+                )
+            )
+            ips = _measure(infer, variables, images)
+            return {"yolov3_value": round(ips, 1), "yolov3_batch_size": bs}
+        except Exception as e:
+            print(f"# v3 bs={bs} failed: {type(e).__name__}", file=sys.stderr)
+    return {"yolov3_value": 0.0, "yolov3_batch_size": None}
+
+
 def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None) -> dict:
     from odc_tpu.models import YOLOv2
     from odc_tpu.ops.detect import make_infer_fn
@@ -191,4 +222,5 @@ def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None) -> dict:
 if __name__ == "__main__":
     result = run()
     result.update(bench_yolov1())
+    result.update(bench_yolov3())
     print(json.dumps(result))

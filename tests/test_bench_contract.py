@@ -47,6 +47,13 @@ def test_bench_yolov1_contract(monkeypatch):
     assert res == {"yolov1_value": 4000.0, "yolov1_batch_size": 2}
 
 
+def test_bench_yolov3_contract(monkeypatch):
+    """Round 4: the YOLOv3 capability extension gets a measured number."""
+    monkeypatch.setattr(bench, "_measure", lambda *a, **k: 1500.0)
+    res = bench.bench_yolov3(batch_sizes=(2,), image_size=64)
+    assert res == {"yolov3_value": 1500.0, "yolov3_batch_size": 2}
+
+
 def test_bench_int8_failure_falls_back_to_bf16(monkeypatch):
     calls = []
 
