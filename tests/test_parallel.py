@@ -69,7 +69,7 @@ from odc_tpu.train.trainer import TrainState, make_train_step
 HW = (64, 64)
 
 
-def _mini_batch(b, m=4):
+def _mini_batch(b, m=4, mode="v2"):
     rng = np.random.default_rng(0)
     boxes = np.zeros((b, m, 4), np.float32)
     boxes[:, 0] = [4, 4, 40, 40]
@@ -80,7 +80,7 @@ def _mini_batch(b, m=4):
 
     tgt = assign(
         jnp.asarray(boxes), jnp.zeros((b, m), jnp.int32),
-        jnp.asarray(valid), HW, mode="v2",
+        jnp.asarray(valid), HW, mode=mode,
     )
     return Batch(
         image=rng.integers(0, 255, (b,) + HW + (3,), dtype=np.uint8),
@@ -153,6 +153,49 @@ def test_dp_matches_single_device(model_and_vars):
         float(m1["loss"]), float(m2["loss"]), rtol=1e-4
     )
     # Updated params agree across the mesh layouts.
+    p1 = jax.tree.leaves(s1.params)[0]
+    p2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(p2), rtol=1e-3, atol=1e-5
+    )
+
+
+@isolated_collective
+def test_dp_v3_matches_single_device():
+    """The YOLOv3 capability extension trains under the data mesh with the
+    same numerics as single-device execution (its on-device multi-scale
+    assignment and ignore mask are pure batch-parallel math — zero
+    cross-chip traffic beyond the gradient psum).  data=2: 2-participant
+    collectives are reliable even on starved hosts (CLAUDE.md)."""
+    from odc_tpu.models import YOLOv3
+
+    model = YOLOv3(image_size=HW)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1,) + HW + (3,), jnp.uint8)
+    )
+    step_fn = make_train_step(
+        model, "v3", Lambdas(lambda_xy=1.0, lambda_wh=1.0), model.anchors,
+        momentum=0.9, weight_decay=5e-4,
+    )
+    batch = _mini_batch(4, mode="v3")
+    rng = jax.random.key(0)
+
+    s1 = TrainState.create(jax.tree.map(jnp.copy, variables))
+    s1, m1 = step_fn(
+        s1, jax.tree.map(jnp.asarray, batch), jnp.float32(1e-3), rng
+    )
+
+    mesh = make_mesh(data=2, model=1)
+    s2 = shard_state(
+        TrainState.create(jax.tree.map(jnp.copy, variables)), mesh
+    )
+    sharded_batch = shard_batch(batch, mesh)
+    with mesh:
+        s2, m2 = step_fn(s2, sharded_batch, jnp.float32(1e-3), rng)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
     p1 = jax.tree.leaves(s1.params)[0]
     p2 = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(
