@@ -20,11 +20,39 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
+def _try_build() -> bool:
+    """Best-effort in-tree build of the .so on first use.
+
+    ``*.so`` is gitignored, so a fresh checkout has no library; silently
+    falling back to PIL changes resize numerics (PIL bilinear differs from
+    the cv2 fixed-point scheme by up to ~90/255 per pixel), which in round 4
+    flipped a conf-sorted NMS near-tie and turned a detect-parity gate red
+    on a host that had never run ``python -m odc_tpu.native.build``.  A
+    one-file g++ compile takes well under a second, so build lazily instead
+    of degrading."""
+    import subprocess
+
+    src = os.path.join(os.path.dirname(__file__), "src", "loader.cc")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _LIB_PATH, src, "-ljpeg"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) and not _try_build():
         _load_failed = True
         return None
     try:

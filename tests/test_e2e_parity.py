@@ -24,6 +24,82 @@ from odc_tpu.models.convert_torch import load_torch_yolov2
 
 CLS2IDX = {c: i for i, c in enumerate(CLASS_LIST)}
 
+# Forward-parity tolerance on raw head outputs (asserted by the forward
+# tests below); everything downstream derives its tolerance from this.
+FWD_ATOL = 2e-3
+# d sigmoid/dx <= 1/4, so conf scores agree to FWD_ATOL/4 when the two
+# networks see identical pixels.
+CONF_ATOL = FWD_ATOL * 0.25
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+
+
+def _conditioned_threshold(conf_ref: np.ndarray, conf_ours: np.ndarray,
+                           lo: int = 4, hi: int = 18) -> float:
+    """Conf threshold at the midpoint of the largest gap between adjacent
+    sorted reference candidates (ranks ``lo..hi-1``), validated against the
+    MEASURED cross-framework conf noise on the same pixels: the gap must
+    dominate the noise by 8x, so by construction both frameworks keep the
+    identical candidate set.
+
+    Round-4 post-mortem: the old exact-quantile threshold guaranteed a
+    borderline candidate, so any pixel-level divergence (an unbuilt native
+    loader silently falling back to PIL resize) flipped the kept set /
+    conf-sort order.  An a-priori gap bound does not work either: random
+    -init v2 conf logits cluster per anchor channel with ~1e-5 within-group
+    spread on every seed, while the true noise at identical pixels is ~1e-6
+    — hence this measured conditioning."""
+    noise = float(np.abs(conf_ref - conf_ours).max())
+    s = np.sort(np.asarray(conf_ref, np.float64).ravel())[::-1]
+    gaps = s[lo - 1:hi - 1] - s[lo:hi]
+    r = int(np.argmax(gaps)) + lo
+    gap = float(s[r - 1] - s[r])
+    assert gap >= 8 * noise, (
+        f"threshold conditioning violated: largest conf gap {gap:.2e} "
+        f"(rank {r}) does not dominate the measured cross-framework conf "
+        f"noise {noise:.2e} — the two frameworks are not seeing identical "
+        f"pixels (unbuilt native loader / resize fallback?)"
+    )
+    return float((s[r - 1] + s[r]) / 2.0)
+
+
+def _assert_detect_parity(ref_pred, our_pred, box_atol: float,
+                          conf_atol: float = CONF_ATOL) -> None:
+    """Order-robust detect parity: same number of boxes, one-to-one nearest
+    matching within ``box_atol`` (L-inf), matching labels and conf scores.
+
+    The reference emits boxes in conf-descending order; two kept boxes whose
+    confs differ by less than the cross-framework conf noise may legally
+    swap positions (the round-4 red-gate mechanism: a 1.4e-3 conf tie broke
+    differently once a PIL-resize fallback perturbed pixels), so positional
+    zip-comparison over-constrains.  Each side's own conf-descending
+    contract is still asserted."""
+    rb = np.asarray(ref_pred["bbox_list"], np.float64).reshape(-1, 4)
+    ob = np.asarray(our_pred["bbox_list"], np.float64).reshape(-1, 4)
+    assert len(rb) == len(ob) > 0
+    rc = np.asarray(ref_pred["conf_score_list"], np.float64)
+    oc = np.asarray(our_pred["conf_score_list"], np.float64)
+    assert (np.diff(rc) <= 1e-12).all(), "reference conf order broken"
+    assert (np.diff(oc) <= 1e-12).all(), "our conf order broken"
+
+    used: list = []
+    for i in range(len(rb)):
+        d = np.abs(ob - rb[i]).max(axis=1)
+        d[used] = np.inf
+        j = int(np.argmin(d))
+        assert d[j] <= box_atol, (
+            f"ref box {i} {rb[i]} has no match within {box_atol} px "
+            f"(closest unused: {ob[j]}, dist {d[j]:.4f})"
+        )
+        used.append(j)
+        assert ref_pred["lbl_list"][i] == our_pred["lbl_list"][j], (
+            f"label mismatch on matched pair {i}->{j}: "
+            f"{ref_pred['lbl_list'][i]} vs {our_pred['lbl_list'][j]}"
+        )
+        np.testing.assert_allclose(rc[i], oc[j], rtol=0, atol=conf_atol)
+
 
 @pytest.fixture(scope="module")
 def shared_v2(reference_models):
@@ -82,28 +158,30 @@ def test_detect_parity_native_odd_size(shared_v2):
     rng = np.random.default_rng(5)
     img = rng.integers(0, 255, (250, 330, 3), dtype=np.uint8)
 
-    # Pick a conf threshold that keeps a handful of candidates (random-init
-    # conf scores cluster near 0.5, the reference default 0.9 keeps none).
+    # Threshold in the largest conf gap among the top candidates
+    # (random-init conf scores cluster near 0.5, the reference default 0.9
+    # keeps none), conditioned on the measured cross-framework noise — no
+    # borderline candidate by construction.
     with torch.no_grad():
-        conf = torch.sigmoid(ref(torch.tensor(img[None]))[..., 4]).numpy()
-    conf_thre = float(np.quantile(conf, 1.0 - 12.5 / conf.size))
+        conf_ref = torch.sigmoid(
+            ref(torch.tensor(img[None]))[..., 4]
+        ).numpy()
+    conf_ours = _sigmoid(
+        model.apply(variables, jnp.asarray(img[None]), train=False)[..., 4]
+    )
+    conf_thre = _conditioned_threshold(conf_ref, conf_ours)
 
     ref_pred = ref.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
 
     det = Detector(model, variables, max_keep=64)
     our_pred = det.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
 
-    ref_boxes = np.asarray(ref_pred["bbox_list"], np.float64).reshape(-1, 4)
-    our_boxes = np.asarray(our_pred["bbox_list"], np.float64).reshape(-1, 4)
-    assert len(ref_boxes) == len(our_boxes) > 0
-    np.testing.assert_allclose(ref_boxes, our_boxes, rtol=1e-3, atol=5e-3)
-    assert ref_pred["lbl_list"] == our_pred["lbl_list"]
-    np.testing.assert_allclose(
-        np.asarray(ref_pred["conf_score_list"], np.float64),
-        np.asarray(our_pred["conf_score_list"], np.float64),
-        rtol=1e-3,
-        atol=1e-4,
-    )
+    # Derived corner-coordinate tolerance: v2 decode is
+    # x = (sigmoid(tx)+cx)*32, w = anchor_w*exp(tw)*32, so a head error of
+    # FWD_ATOL moves a corner by at most (0.25*32 + w_box/2)*FWD_ATOL with
+    # w_box bounded by the 330-px image; x3 safety margin.
+    box_atol = FWD_ATOL * (0.25 * 32 + 330 / 2) * 3
+    _assert_detect_parity(ref_pred, our_pred, box_atol)
 
 
 # ---------------------------------------------------------------------------
@@ -186,11 +264,15 @@ def test_v1_detect_parity_224(shared_v1):
     img = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
 
     with torch.no_grad():
-        conf = torch.sigmoid(
+        conf_ref = torch.sigmoid(
             ref(torch.tensor(img[None]))
             .reshape(1, 7, 7, 30)[..., [4, 9]]
         ).numpy()
-    conf_thre = float(np.quantile(conf, 1.0 - 8.5 / conf.size))
+    conf_ours = _sigmoid(
+        model.apply(variables, jnp.asarray(img[None]), train=False)
+        [..., [4, 9]]
+    )
+    conf_thre = _conditioned_threshold(conf_ref, conf_ours)
 
     with torch.no_grad():
         ref_pred = ref.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
@@ -198,11 +280,11 @@ def test_v1_detect_parity_224(shared_v1):
     det = Detector(model, variables, max_keep=64)
     our_pred = det.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
 
-    ref_boxes = np.asarray(ref_pred["bbox_list"], np.float64).reshape(-1, 4)
-    our_boxes = np.asarray(our_pred["bbox_list"], np.float64).reshape(-1, 4)
-    assert len(ref_boxes) == len(our_boxes) > 0
-    np.testing.assert_allclose(ref_boxes, our_boxes, rtol=1e-3, atol=5e-3)
-    assert ref_pred["lbl_list"] == our_pred["lbl_list"]
+    # v1 decode in the 224 net frame: x = (sigmoid(tx)+cx)*32 and
+    # w = 224*sigmoid(tw) (sigmoid-wh quirk C), so a FWD_ATOL head error
+    # moves a corner by at most (0.25*32 + 0.25*224/2)*FWD_ATOL; x4 margin.
+    box_atol = FWD_ATOL * 0.25 * (32 + 224 / 2) * 4
+    _assert_detect_parity(ref_pred, our_pred, box_atol)
 
 
 def test_v1_detect_parity_native_odd_size(shared_v1):
@@ -212,21 +294,45 @@ def test_v1_detect_parity_native_odd_size(shared_v1):
     (``:536-543``); the conftest stub's ``Resize`` now implements the real
     cv2 fixed-point scheme, bitwise-equal to the native ``loader.cc`` resize
     our ``Detector`` uses — so both frameworks see identical 224x224 pixels
-    and the box comparison exercises resize + inverse-resize end to end."""
+    and the box comparison exercises resize + inverse-resize end to end.
+
+    Round-4 failure mode (fixed): on a host that had never built the native
+    loader, ``Detector`` silently fell back to PIL resize whose pixels
+    differ from the cv2 scheme, shifting conf scores by ~1e-3 and flipping
+    the output order of two boxes whose confs were 1.4e-3 apart.  The
+    loader now builds lazily on first use; this test additionally asserts
+    the bitwise-resize premise up front, picks a gap-conditioned threshold,
+    and matches boxes order-robustly."""
     import torch
 
     from cv2_resize_oracle import resize_inter_linear
+    from odc_tpu.native import loader as native_loader
+
+    if not native_loader.available():
+        pytest.skip(
+            "native loader unavailable (no g++?): the bitwise-resize "
+            "premise of this test cannot hold over a PIL fallback"
+        )
 
     ref, model, variables = shared_v1
     rng = np.random.default_rng(11)
     img = rng.integers(0, 255, (250, 330, 3), dtype=np.uint8)
 
     small = resize_inter_linear(img, 224, 224)
+    np.testing.assert_array_equal(
+        small, native_loader.resize_bilinear(img, (224, 224)),
+        err_msg="native resize is not bitwise-equal to the cv2 oracle",
+    )
     with torch.no_grad():
-        conf = torch.sigmoid(
-            ref(torch.tensor(small[None])).reshape(1, 7, 7, 30)[..., [4, 9]]
+        conf_ref = torch.sigmoid(
+            ref(torch.tensor(small[None]))
+            .reshape(1, 7, 7, 30)[..., [4, 9]]
         ).numpy()
-    conf_thre = float(np.quantile(conf, 1.0 - 8.5 / conf.size))
+    conf_ours = _sigmoid(
+        model.apply(variables, jnp.asarray(small[None]), train=False)
+        [..., [4, 9]]
+    )
+    conf_thre = _conditioned_threshold(conf_ref, conf_ours)
 
     with torch.no_grad():
         ref_pred = ref.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
@@ -234,17 +340,11 @@ def test_v1_detect_parity_native_odd_size(shared_v1):
     det = Detector(model, variables, max_keep=64)
     our_pred = det.detect(img, conf_score_thre=conf_thre, iou_thre=0.5)
 
-    ref_boxes = np.asarray(ref_pred["bbox_list"], np.float64).reshape(-1, 4)
     our_boxes = np.asarray(our_pred["bbox_list"], np.float64).reshape(-1, 4)
-    assert len(ref_boxes) == len(our_boxes) > 0
     # Boxes come back in the ORIGINAL 250x330 frame on both sides; x can
     # exceed the 224 net frame only if the inverse-resize actually ran.
     assert our_boxes[:, 2].max() > 224.0 - 1.0
-    np.testing.assert_allclose(ref_boxes, our_boxes, rtol=1e-3, atol=5e-3)
-    assert ref_pred["lbl_list"] == our_pred["lbl_list"]
-    np.testing.assert_allclose(
-        np.asarray(ref_pred["conf_score_list"], np.float64),
-        np.asarray(our_pred["conf_score_list"], np.float64),
-        rtol=1e-3,
-        atol=1e-4,
-    )
+    # v1-224 corner tolerance (see test_v1_detect_parity_224) scaled by the
+    # 330/224 inverse-resize back to the original frame; x4 margin.
+    box_atol = FWD_ATOL * 0.25 * (32 + 224 / 2) * (330 / 224) * 4
+    _assert_detect_parity(ref_pred, our_pred, box_atol)
