@@ -29,10 +29,21 @@ from __future__ import annotations
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _report_failure(name: str, e: BaseException, failed: list) -> None:
+    """A failed config must be machine-visible (VERDICT r4 weak#5): record
+    it in ``failed_configs`` and put the actual traceback tail on stderr —
+    not just the exception class name."""
+    failed.append(name)
+    print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    tail = traceback.format_exception(type(e), e, e.__traceback__)[-3:]
+    print("".join(tail).rstrip(), file=sys.stderr)
 
 BASELINE_IMAGES_PER_SEC = 5000.0  # BASELINE.json north star
 WARMUP_ITERS = 3
@@ -60,7 +71,8 @@ def _measure(infer, variables, images) -> float:
     return images.shape[0] * TIMED_ITERS / dt
 
 
-def bench_yolov1(batch_sizes=(512, 256, 128), image_size=224) -> dict:
+def bench_yolov1(batch_sizes=(512, 256, 128), image_size=224,
+                 failed=None) -> dict:
     """Secondary benchmark: YOLOv1-224 e2e inference (BASELINE.md config 1:
     the reference's single-image v1 path, here batched).  bf16 only — the
     int8 PTQ engine is v2-specific (see PROFILE.md 'int8 and YOLOv1' for the
@@ -77,6 +89,7 @@ def bench_yolov1(batch_sizes=(512, 256, 128), image_size=224) -> dict:
     init_img = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
     variables = jax.jit(model.init)(jax.random.key(0), init_img)
 
+    last_err = None
     for bs in batch_sizes:
         try:
             images = jnp.asarray(
@@ -86,12 +99,16 @@ def bench_yolov1(batch_sizes=(512, 256, 128), image_size=224) -> dict:
             )
             ips = _measure(infer, variables, images)
             return {"yolov1_value": round(ips, 1), "yolov1_batch_size": bs}
-        except Exception as e:
-            print(f"# v1 bs={bs} failed: {type(e).__name__}", file=sys.stderr)
-    return {"yolov1_value": 0.0, "yolov1_batch_size": None}
+        except Exception as e:  # OOM at large bs: try the next size down
+            last_err = e
+            print(f"# v1 bs={bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    _report_failure("yolov1", last_err, failed if failed is not None else [])
+    return {"yolov1_value": None, "yolov1_batch_size": None}
 
 
-def bench_yolov3(batch_sizes=(256, 128, 64), image_size=416) -> dict:
+def bench_yolov3(batch_sizes=(256, 128, 64), image_size=416,
+                 failed=None) -> dict:
     """Secondary benchmark: YOLOv3-416 e2e inference (three-scale FPN head,
     decode+NMS over all 10 647 boxes).  Capability extension — the
     reference never built YOLOv3 (dead Darknet-53 backbone), so there is
@@ -108,6 +125,7 @@ def bench_yolov3(batch_sizes=(256, 128, 64), image_size=416) -> dict:
     init_img = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
     variables = jax.jit(model.init)(jax.random.key(0), init_img)
 
+    last_err = None
     for bs in batch_sizes:
         try:
             images = jnp.asarray(
@@ -117,12 +135,18 @@ def bench_yolov3(batch_sizes=(256, 128, 64), image_size=416) -> dict:
             )
             ips = _measure(infer, variables, images)
             return {"yolov3_value": round(ips, 1), "yolov3_batch_size": bs}
-        except Exception as e:
-            print(f"# v3 bs={bs} failed: {type(e).__name__}", file=sys.stderr)
-    return {"yolov3_value": 0.0, "yolov3_batch_size": None}
+        except Exception as e:  # OOM at large bs: try the next size down
+            last_err = e
+            print(f"# v3 bs={bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    _report_failure("yolov3", last_err, failed if failed is not None else [])
+    return {"yolov3_value": None, "yolov3_batch_size": None}
 
 
-def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None) -> dict:
+def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None,
+        failed=None) -> dict:
+    if failed is None:
+        failed = []
     from odc_tpu.models import YOLOv2
     from odc_tpu.ops.detect import make_infer_fn
 
@@ -157,10 +181,12 @@ def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None) -> dict:
     best = best_bf16 = best_int8 = best_full = 0.0
     best_bs = None
     successes = 0
+    neck_failed = full_failed = False
     try:
         infer_full = make_full_int8()
     except Exception as e:
-        print(f"# int8_full unavailable: {type(e).__name__}", file=sys.stderr)
+        _report_failure("yolov2_int8_full_calibration", e, failed)
+        full_failed = True
         infer_full = None
     for bs in batch_sizes:
         if successes >= 2:
@@ -171,23 +197,23 @@ def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None) -> dict:
             )
             ips_bf16 = _measure(infer_bf16, variables, images)
         except Exception as e:  # OOM at large batch: fall through
-            print(f"# bs={bs} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"# bs={bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             continue
         successes += 1
         try:
             ips_int8 = _measure(infer_int8, variables, images)
         except Exception as e:  # int8 path unavailable: bf16 still counts
-            print(f"# bs={bs} int8 failed: {type(e).__name__}", file=sys.stderr)
+            _report_failure(f"yolov2_int8_neck@bs{bs}", e, failed)
+            neck_failed = True
             ips_int8 = 0.0
         ips_full = 0.0
         if infer_full is not None:
             try:
                 ips_full = _measure(infer_full, variables, images)
             except Exception as e:
-                print(
-                    f"# bs={bs} int8_full failed: {type(e).__name__}",
-                    file=sys.stderr,
-                )
+                _report_failure(f"yolov2_int8_full@bs{bs}", e, failed)
+                full_failed = True
         if extra is not None:
             extra[bs] = {
                 "int8_full": ips_full, "int8_neck": ips_int8, "bf16": ips_bf16,
@@ -213,14 +239,31 @@ def run(batch_sizes=(1024, 512, 256, 128, 64), extra=None) -> dict:
             else "bf16"
         ),
         "bf16_value": round(best_bf16, 1),
-        "int8_neck_value": round(best_int8, 1),  # 0.0 = config failed
-        "int8_full_value": round(best_full, 1),
+        # null (not 0.0) when a config failed: a regression must be
+        # machine-distinguishable from a slow measurement (VERDICT r4 #8).
+        "int8_neck_value": (
+            None if best_int8 == 0.0 and neck_failed else round(best_int8, 1)
+        ),
+        "int8_full_value": (
+            None if best_full == 0.0 and full_failed else round(best_full, 1)
+        ),
         "device": str(jax.devices()[0]),
+        "failed_configs": failed,
     }
 
 
 if __name__ == "__main__":
-    result = run()
-    result.update(bench_yolov1())
-    result.update(bench_yolov3())
+    failed: list = []
+    result = run(failed=failed)
+    try:
+        result.update(bench_yolov1(failed=failed))
+    except Exception as e:  # a secondary config must not kill the headline
+        _report_failure("yolov1_setup", e, failed)
+        result.update({"yolov1_value": None, "yolov1_batch_size": None})
+    try:
+        result.update(bench_yolov3(failed=failed))
+    except Exception as e:
+        _report_failure("yolov3_setup", e, failed)
+        result.update({"yolov3_value": None, "yolov3_batch_size": None})
+    result["failed_configs"] = failed
     print(json.dumps(result))

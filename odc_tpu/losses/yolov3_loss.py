@@ -123,6 +123,18 @@ def _per_scale_terms(
     ignored = jnp.max(iou_bg, axis=-1) > ignore_iou  # [B, G]
 
     flat = (cy * wg + cx) * a + slot  # [B, M]
+    # Two valid gts colliding on one (cell, anchor) slot would both gather
+    # the same prediction and train it toward conflicting coord/cls targets
+    # (and double-count obj_pos) while the pos scatter below collapses them
+    # to one slot for the noobj mask.  Darknet overwrites the assignment
+    # map, so exactly one gt trains the slot — keep the FIRST selected gt
+    # per flat index and drop later colliders from sel.
+    m = flat.shape[1]
+    same = (flat[:, :, None] == flat[:, None, :]) & (sel[:, None, :] > 0)
+    earlier = jnp.tril(jnp.ones((m, m), bool), k=-1)  # [m, m'] m' < m
+    collided = jnp.any(same & earlier, axis=-1).astype(jnp.float32)  # [B, M]
+    sel = sel * (1.0 - collided)
+
     g = hg * wg * a
     pos = (
         jnp.zeros((b, g), jnp.float32)

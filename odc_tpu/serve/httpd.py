@@ -66,8 +66,12 @@ def _make_handler(batcher: BatchingServer):
                 self._json(404, {"error": f"no such endpoint {url.path}"})
                 return
             q = parse_qs(url.query)
-            conf = float(q["conf"][0]) if "conf" in q else None
-            iou = float(q["iou"][0]) if "iou" in q else None
+            try:
+                conf = float(q["conf"][0]) if "conf" in q else None
+                iou = float(q["iou"][0]) if "iou" in q else None
+            except ValueError as e:
+                self._json(400, {"error": f"bad query param: {e}"})
+                return
             length = int(self.headers.get("Content-Length", 0))
             try:
                 arr = np.load(io.BytesIO(self.rfile.read(length)),

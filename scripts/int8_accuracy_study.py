@@ -326,7 +326,10 @@ def main():
             if step_times else None,
             "train_img_per_s": float(BS / np.median(step_times))
             if step_times else None,
-            "final_train_loss": float(np.mean(losses)),
+            # None (not NaN: invalid strict JSON) when training was skipped
+            # via a state checkpoint and no losses were recorded.
+            "final_train_loss": float(np.mean(losses))
+            if np.isfinite(np.mean(losses)) else None,
             "val": {k: {"mAP@.5": v[0], "mAP[.5:.95]": v[1]}
                     for k, v in rows.items()},
             "device": str(jax.devices()[0]),

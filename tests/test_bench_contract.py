@@ -16,8 +16,9 @@ def test_bench_json_contract(monkeypatch):
     assert set(res) >= {
         "metric", "value", "unit", "vs_baseline", "batch_size",
         "precision", "bf16_value", "int8_neck_value", "int8_full_value",
-        "device",
+        "device", "failed_configs",
     }
+    assert res["failed_configs"] == []
     assert res["unit"] == "images/sec/chip"
     assert res["value"] == 3500.0 and res["bf16_value"] == 2800.0
     assert res["int8_neck_value"] == 3000.0
@@ -55,6 +56,8 @@ def test_bench_yolov3_contract(monkeypatch):
 
 
 def test_bench_int8_failure_falls_back_to_bf16(monkeypatch):
+    """VERDICT r4 #8: failed configs emit null (not 0.0) and are listed in
+    failed_configs, so a regression is machine-visible in BENCH_r*.json."""
     calls = []
 
     def fake_measure(infer, variables, images):
@@ -67,5 +70,27 @@ def test_bench_int8_failure_falls_back_to_bf16(monkeypatch):
     res = bench.run(batch_sizes=(2,))
     assert res["precision"] == "bf16"
     assert res["value"] == 2500.0
-    assert res["int8_neck_value"] == 0.0  # failures visible in the JSON
-    assert res["int8_full_value"] == 0.0
+    assert res["int8_neck_value"] is None  # failures visible in the JSON
+    assert res["int8_full_value"] is None
+    assert any("int8_neck" in f for f in res["failed_configs"])
+    assert any("int8_full" in f for f in res["failed_configs"])
+    import json
+
+    assert "NaN" not in json.dumps(res)  # strict-JSON parseable
+
+
+def test_bench_secondary_failure_emits_null(monkeypatch):
+    """A broken v1/v3 path publishes null + a failed_configs entry, never a
+    silent 0.0 (ADVICE r4 / VERDICT r4 weak#5)."""
+
+    def boom(*a, **k):
+        raise RuntimeError("broken path")
+
+    monkeypatch.setattr(bench, "_measure", boom)
+    failed = []
+    res = bench.bench_yolov1(batch_sizes=(2,), image_size=64, failed=failed)
+    assert res == {"yolov1_value": None, "yolov1_batch_size": None}
+    assert failed == ["yolov1"]
+    res = bench.bench_yolov3(batch_sizes=(2,), image_size=64, failed=failed)
+    assert res == {"yolov3_value": None, "yolov3_batch_size": None}
+    assert failed == ["yolov1", "yolov3"]

@@ -153,6 +153,15 @@ def test_http_server_end_to_end(setup):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{base}/nope")
         assert ei.value.code == 404
+        # malformed query params get a 400 JSON error, not a dropped
+        # connection (ADVICE r4)
+        bad_q = urllib.request.Request(
+            f"{base}/predict?conf=abc", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad_q)
+        assert ei.value.code == 400
+        assert "bad query param" in json.loads(ei.value.read())["error"]
     finally:
         httpd.shutdown()
         batcher.stop()

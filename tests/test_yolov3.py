@@ -154,6 +154,32 @@ def test_ignore_mask_excludes_overlapping_background():
     assert int(t_hi.noobj_cnt[0]) == 2  # nothing clears IoU > 1.5
 
 
+def test_colliding_gts_train_one_slot_once():
+    """Two valid gts landing on the same (scale, cell, anchor) slot must not
+    double-train it: darknet overwrites the assignment map, so only ONE gt
+    owns the slot (ADVICE r4).  The first selected gt survives; the
+    collider is dropped from sel, so obj_pos/coord/cls are counted once."""
+    anchors = np.asarray([[16, 16], [100, 100], [4, 4]], np.float32)
+    y = np.full((1, 1, 1, 3, 6), -20.0, np.float32)
+    # Both gts: ~16x16 near the cell center -> both pick anchor 0, cell 0.
+    g1 = [8.0, 8.0, 24.0, 24.0]
+    g2 = [9.0, 9.0, 25.0, 25.0]
+    tgt = _targets([[g1, g2]], [[0, 1]], max_boxes=4)
+
+    (t,) = _all_terms((jnp.asarray(y),), tgt, (32, 32), anchors, 0.5)
+    np.testing.assert_array_equal(np.asarray(t.sel[0]), [1.0, 0.0, 0.0, 0.0])
+    # the slot is positive exactly once; the other two anchors stay bg
+    assert int(t.noobj_cnt[0]) == 2
+
+    # Non-colliding control: second gt on its own cell keeps both.
+    tgt2 = _targets([[g1, [1.0, 1.0, 5.0, 5.0]]], [[0, 1]], max_boxes=4)
+    (t2,) = _all_terms((jnp.asarray(y),), tgt2, (32, 32), anchors, 0.5)
+    # 4x4 box -> anchor 2 (same cell, different slot): both selected
+    np.testing.assert_array_equal(
+        np.asarray(t2.sel[0]), [1.0, 1.0, 0.0, 0.0]
+    )
+
+
 def test_loss_per_image_matches_batch_on_identical_images(v3_setup):
     model, variables = v3_setup
     rng = np.random.default_rng(3)
