@@ -86,6 +86,8 @@ class DetectionPipeline:
         seed: int = 0,
         drop_remainder: bool = True,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> None:
         self.dataset = dataset
         self.image_hw = tuple(image_hw)
@@ -95,9 +97,34 @@ class DetectionPipeline:
         self.shuffle = shuffle
         self.augment = augment
         self.cls2idx = {c: i for i, c in enumerate(cls_list)}
-        self.rng = np.random.default_rng(seed)
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+
+        # Multi-host data parallelism: ``batch_size`` stays the GLOBAL
+        # batch; each process materializes only its contiguous
+        # ``batch_size/process_count`` slice of every seed-aligned global
+        # batch (``parallel.shard_batch`` assembles the global array via
+        # ``jax.make_array_from_process_local_data``).  The shuffle rng is
+        # shared (identical order on every host); the augment rng is
+        # per-process (each host only augments its own samples).
+        if not 0 <= process_index < process_count:
+            raise ValueError(
+                f"process_index {process_index} not in [0, {process_count})"
+            )
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"process_count {process_count}"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch_size = batch_size // process_count
+        if process_count > 1:
+            self._order_rng = np.random.default_rng(seed)
+            self.rng = np.random.default_rng([seed, process_index])
+        else:
+            # single-process: one stream, exactly the historical behavior
+            self.rng = self._order_rng = np.random.default_rng(seed)
 
     def set_image_size(self, image_hw: Tuple[int, int]) -> None:
         """Re-target the static image size (multi-scale training)."""
@@ -132,7 +159,7 @@ class DetectionPipeline:
         # NOT safe for training: zero images would still feed BatchNorm
         # batch statistics — Trainer rejects drop_remainder=False train
         # pipelines.
-        b = self.batch_size
+        b = self.local_batch_size
         m = self.max_boxes
         h, w = self.image_hw
         image = np.zeros((b, h, w, 3), np.uint8)
@@ -220,11 +247,17 @@ class DetectionPipeline:
     def _batch_indices(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            self._order_rng.shuffle(order)
         bs = self.batch_size
+        lb = self.local_batch_size
         stop = (len(order) // bs) * bs if self.drop_remainder else len(order)
         for start in range(0, stop, bs):
-            yield order[start : start + bs]
+            chunk = order[start : start + bs]
+            # this process's contiguous slice of the global batch (may be
+            # short or empty on the tail when drop_remainder=False — the
+            # padded-batch path keeps every host yielding the same number
+            # of batches, which lockstep collectives require)
+            yield chunk[self.process_index * lb : (self.process_index + 1) * lb]
 
     def __iter__(self) -> Iterator[Batch]:
         if self.prefetch <= 0:

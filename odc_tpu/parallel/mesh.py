@@ -111,11 +111,30 @@ def shard_state(state, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with every array sharded along the data axis."""
-    sh = batch_sharding(mesh)
+    """Place a host batch with every array sharded along the data axis.
+
+    Single-process: a plain ``device_put`` of the full global batch.
+    Multi-process (a real pod): each host holds only its
+    ``DetectionPipeline(process_index, process_count)`` slice, and the
+    global jax.Array is assembled from the per-process shards via
+    ``jax.make_array_from_process_local_data`` — data rides each host's
+    PCIe to its own chips, gradients ride ICI/DCN via the XLA-inserted
+    psum.  The reference has no equivalent (SURVEY.md §2: no parallelism);
+    this is the §5 'data sharded by batch across hosts' plan."""
+
+    def spec_of(x):
+        return P(*(("data",) + (None,) * (np.ndim(x) - 1)))
+
+    if jax.process_count() > 1:
+
+        def put(x):
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec_of(x)), np.asarray(x)
+            )
+
+        return jax.tree.map(put, batch)
 
     def put(x):
-        spec = P(*(("data",) + (None,) * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, spec_of(x)))
 
     return jax.tree.map(put, batch)

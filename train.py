@@ -85,8 +85,14 @@ def main():
     from odc_tpu.data.voc import VOC, make_synthetic_voc
     from odc_tpu.models import get_model
     from odc_tpu.ops.augment import AugmentConfig
-    from odc_tpu.parallel.mesh import make_mesh
+    from odc_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
     from odc_tpu.train import Trainer, checkpoint
+
+    # Multi-host pod runs: wire up the processes (no-op single-process);
+    # each host's pipelines then read only their slice of every global
+    # batch and shard_batch assembles the global arrays.
+    maybe_initialize_distributed()
+    pidx, pcnt = jax.process_index(), jax.process_count()
 
     ckpt_path = os.path.join(
         args.ckpt_root,
@@ -151,6 +157,8 @@ def main():
         mode={"YOLOv1": "v1", "YOLOv3": "v3"}.get(args.model, "v2"),
         seed=train_cfg.seed,
         augment=host_augment,
+        process_index=pidx,
+        process_count=pcnt,
     )
     val_pipe = DetectionPipeline(
         dataset.val_dataset,
@@ -162,6 +170,8 @@ def main():
         # Validate over EVERY image like the reference (train.py:68-71);
         # the tail batch is padded, not dropped.
         drop_remainder=False,
+        process_index=pidx,
+        process_count=pcnt,
     )
 
     augment_cfg = AugmentConfig() if aug_mode == "device" else None
