@@ -320,14 +320,14 @@ def evaluate_batched_native(
     if detector.mode != "v2":
         raise ValueError("native-parity bucketed eval is v2-only "
                          "(v1 resizes to the network size)")
-    if (detector._make_kwargs.get("int8_neck")
-            or detector._make_kwargs.get("int8_scales") is not None):
-        # make_native_infer_fn has no int8 path; silently evaluating the
-        # bf16 graph would mislabel an int8 accuracy measurement.
+    if detector._make_kwargs.get("int8_neck"):
+        # The single-layer dynamic-PTQ neck rides model.apply's
+        # neck_override hook, which is incompatible with the masked
+        # valid_hw forward; the FULL engine (int8_scales) has its own
+        # masked native path and is supported below.
         raise ValueError(
-            "native-parity bucketed eval does not support int8 detectors "
-            "(int8_neck/int8_scales); evaluate int8 configs through "
-            "evaluate_batched, or build the Detector without int8 flags"
+            "native-parity bucketed eval does not support int8_neck; use "
+            "the full engine (int8_scales) or the bf16 detector"
         )
     from odc_tpu.ops.detect import make_native_infer_fn
 
@@ -336,6 +336,8 @@ def evaluate_batched_native(
             detector.model, detector.conf_thre, detector.iou_thre,
             detector.max_keep,
             class_wise=detector._make_kwargs.get("class_wise", False),
+            int8_scales=detector._make_kwargs.get("int8_scales"),
+            int8_stem=detector._make_kwargs.get("int8_stem", "s2d"),
         )
     )
     acc = APAccumulator(detector.cls_list, levels, dedup=dedup)

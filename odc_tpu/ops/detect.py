@@ -133,6 +133,8 @@ def make_native_infer_fn(
     iou_thre: float = 0.5,
     max_keep: int = 64,
     class_wise: bool = False,
+    int8_scales=None,
+    int8_stem: str = "s2d",
 ) -> Callable:
     """Native-size-parity inference over a PADDED batch (YOLOv2 only).
 
@@ -146,14 +148,34 @@ def make_native_infer_fn(
     uses per-image native cell sizes (``h/ (h//32)``, the reference's
     ``predict()`` scaling) so boxes come out directly in native pixel
     coordinates; cells beyond an image's grid get conf=0 (requires
-    ``conf_thre > 0``, true of every reference threshold)."""
+    ``conf_thre > 0``, true of every reference threshold).
+
+    ``int8_scales`` runs the FULL int8 PTQ engine under the same masked
+    native-size semantics (``yolov2_int8_forward(valid_hw=...)``) — the
+    shipped serving precision evaluated under the reference's native-size
+    v2 eval contract."""
     if type(model).__name__ != "YOLOv2":
         raise ValueError("make_native_infer_fn supports YOLOv2 only "
                          "(v1 resizes to the network size; use make_infer_fn)")
+    if int8_scales is not None and model.neck != "quadrant":
+        raise ValueError(
+            "int8_scales require a YOLOv2 with neck='quadrant' (the engine "
+            f"hardcodes the quadrant graph; got neck={model.neck!r})"
+        )
 
     def infer(variables, images, valid_hw, conf_thre=conf_thre,
               iou_thre=iou_thre):
-        y = model.apply(variables, images, train=False, valid_hw=valid_hw)
+        if int8_scales is not None:
+            from odc_tpu.ops.int8_engine import yolov2_int8_forward
+
+            y = yolov2_int8_forward(
+                variables, images, scales=int8_scales,
+                num_anchor_box=model.num_anchor_box, num_cls=model.num_cls,
+                stem=int8_stem, valid_hw=valid_hw,
+            )
+        else:
+            y = model.apply(variables, images, train=False,
+                            valid_hw=valid_hw)
         b, hg, wg, a, _ = y.shape
         # Decode in grid units (image_hw == grid dims -> cell size 1).
         det = model.decode(y, (hg, wg))

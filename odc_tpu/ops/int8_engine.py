@@ -176,6 +176,63 @@ def _zp_border_correction(wq, z, hw):
     return z * w_out
 
 
+def _zp_border_correction_native(wq, z, hw, eh, ew):
+    """Zero-point correction for a 3x3 SAME conv over a PADDED batch with
+    per-image native extents (the masked native-size-parity path).
+
+    Out-of-extent cells are masked to the zero-point code ``z``
+    (:func:`_mask_codes`), which dequantizes to exactly 0 — each image's
+    interior bottom/right boundary therefore gets its "conv padding" from
+    the masked region NATURALLY, with no correction term.  What remains:
+
+    * top (bucket row 0) and left (col 0): always implicit conv 0-padding
+      (codes 0 where the zero-point fold assumed ``z``) — the static rings
+      of :func:`_zp_border_correction`;
+    * bottom/right: ONLY for images whose extent reaches the bucket edge
+      (``eh == H`` / ``ew == W``) — otherwise the z-masked rows/cols below
+      the extent already supply the padding.
+
+    ``eh``/``ew`` are [B] int32 extents; returns a broadcastable
+    [B, H, W, C] fused-rank-1 term like the static variant."""
+    h, w = hw
+    wf = wq.astype(jnp.float32)
+    wtop = wf[0].sum((0, 1))
+    wbot = wf[-1].sum((0, 1))
+    wleft = wf[:, 0].sum((0, 1))
+    wright = wf[:, -1].sum((0, 1))
+    wtl = wf[0, 0].sum(0)
+    wtr = wf[0, -1].sum(0)
+    wbl = wf[-1, 0].sum(0)
+    wbr = wf[-1, -1].sum(0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    at_h = (eh == h).astype(jnp.float32)[:, None, None, None]
+    at_w = (ew == w).astype(jnp.float32)[:, None, None, None]
+    top = (row == 0).astype(jnp.float32)
+    bot = (row == h - 1).astype(jnp.float32) * at_h
+    left = (col == 0).astype(jnp.float32)
+    right = (col == w - 1).astype(jnp.float32) * at_w
+    w_out = (
+        top * wtop + bot * wbot + left * wleft + right * wright
+        - top * left * wtl - top * right * wtr
+        - bot * left * wbl - bot * right * wbr
+    )
+    return z * w_out
+
+
+def _mask_codes(h, eh, ew, z):
+    """Set cells beyond each image's (eh, ew) extent to the zero-point code
+    ``z`` (which dequantizes to exactly 0) — the int8 analog of the bf16
+    masked forward's zeroing (``models/layers.py::extent_mask``): border
+    windows of the next k>1 conv then read exactly what a native-size run's
+    implicit SAME padding would supply."""
+    from odc_tpu.models.layers import extent_mask
+
+    zc = jnp.round(z).astype(h.dtype) if z is not None else h.dtype.type(0)
+    return jnp.where(extent_mask(h.shape, eh, ew), h, zc)
+
+
 def _zp_border_correction_lifted(wq, z, hw):
     """Zero-point correction for a LIFTED 3x3 conv (`_s2d_stem_kernel`:
     4x4/stride-2, explicit padding (1,2), channel layout p*C+c with phase
@@ -300,6 +357,7 @@ def yolov2_int8_forward(
     stop_after: Optional[int] = None,
     bf16_front: int = 0,
     stem: str = "plain",
+    valid_hw: Optional[jax.Array] = None,
 ):
     """Run YOLOv2 inference.
 
@@ -318,6 +376,15 @@ def yolov2_int8_forward(
     bitwise-equal to ``"s2d"`` but measured SLOWER (the 16/9 MAC overhead
     of the lift beats its lane-fill gain at conv1's shape; kept as the
     documented negative result).
+
+    ``valid_hw`` ([N, 2] int32, engine mode only): per-image native sizes
+    for a batch PADDED to a common bucket — the int8 counterpart of the
+    bf16 masked forward (``YOLOv2.__call__(valid_hw=...)``).  Out-of-extent
+    cells are held at each tensor's zero-point code (dequantizes to exactly
+    0), so every image's valid cells equal its native-size engine run; the
+    quadrant reorg slices at per-image half extents
+    (``quadrant_stack_dynamic``).  Cells beyond an image's grid are junk
+    the caller must mask (``make_native_infer_fn`` zeroes their conf).
     """
     blocks = _blocks(variables)
     calibrating = scales is None
@@ -344,6 +411,25 @@ def yolov2_int8_forward(
         raise ValueError(
             f"stem must be 'plain', 's2d' or 's2d2', got {stem!r}"
         )
+    eh = ew = None
+    if valid_hw is not None:
+        if calibrating:
+            raise ValueError(
+                "valid_hw is engine-mode only (calibrate on un-padded "
+                "deployment-size batches)"
+            )
+        if bf16_front > 0 or stem == "s2d2":
+            raise ValueError(
+                "valid_hw supports stem='plain'/'s2d' with bf16_front=0 "
+                "(the shipped configurations)"
+            )
+        eh, ew = valid_hw[:, 0], valid_hw[:, 1]
+        # Native top-left-aligned padding: the image itself is zero-padded
+        # uint8; mask the NORMALIZED pixels to 0 so the first conv's border
+        # windows read exactly a native run's implicit SAME padding (the
+        # input layer is symmetric — code 0 IS the zero point).  The
+        # ``h`` assignment below then quantizes the masked pixels.
+        h0 = _mask_codes(h0, eh, ew, None)
     if calibrating or bf16_front > 0 or stem != "plain":
         # bf16_front: the leading convs run in bf16 — XLA's int8 conv path
         # is ~3x SLOWER than its bf16 one at tiny channel counts (measured
@@ -367,6 +453,11 @@ def yolov2_int8_forward(
         if first_of_stage and 1 <= si <= 5:
             if si > pooled_to:
                 h = _pool(h)
+                if eh is not None:
+                    # Floor-halving extents like torch MaxPool2d: valid
+                    # pool outputs (i < e//2) read only rows 2i, 2i+1 < e —
+                    # masked cells never leak into valid ones.
+                    eh, ew = eh // 2, ew // 2
 
         if not calibrating and i == 0 and stem in ("s2d", "s2d2"):
             # s2d stem: stage-1 conv + 2x2 pool as ONE 4x4/stride-2 conv
@@ -395,6 +486,13 @@ def yolov2_int8_forward(
             h = _phase_max(_quant_act(y, s_out, z_out))
             s_prev, z_prev = s_out, z_out
             pooled_to = 1
+            if eh is not None:
+                # The lifted conv+phase-max IS conv0+pool: extents halve.
+                # (h0 was masked to 0, so phase windows at each image's
+                # boundary read native-padding zeros; out-of-extent outputs
+                # are junk, re-masked to the zero point before the next
+                # k>1 conv.)
+                eh, ew = eh // 2, ew // 2
             if stop_after == 0:
                 return h
             continue
@@ -464,6 +562,11 @@ def yolov2_int8_forward(
         else:
             wq, sw = _quant_w(conv_p["kernel"])
             a, b = _affine(conv_p, bn_p, bn_s, sw, s_prev)
+            if eh is not None and wq.shape[0] > 1:
+                # Masked native-parity path: hold out-of-extent cells at
+                # the zero-point code so this conv's boundary windows read
+                # native SAME padding (1x1 convs read no neighborhood).
+                h = _mask_codes(h, eh, ew, z_prev)
             acc = acc_f = _conv_i8(h, wq).astype(jnp.float32)
             if z_prev is not None:
                 # zero-point correction: interior folds into the bias,
@@ -471,9 +574,14 @@ def yolov2_int8_forward(
                 wsum = jnp.sum(wq.astype(jnp.float32), axis=(0, 1, 2))
                 b = b - z_prev * wsum * a
                 if wq.shape[0] > 1:
-                    acc_f = acc + _zp_border_correction(
-                        wq, z_prev, h.shape[1:3]
-                    )
+                    if eh is not None:
+                        acc_f = acc + _zp_border_correction_native(
+                            wq, z_prev, h.shape[1:3], eh, ew
+                        )
+                    else:
+                        acc_f = acc + _zp_border_correction(
+                            wq, z_prev, h.shape[1:3]
+                        )
             y = _leaky(acc_f * a + b)
             s_out, z_out = _act_qparams(scales[i])
             h = _quant_act(y, s_out, z_out)
@@ -481,6 +589,7 @@ def yolov2_int8_forward(
         if i == c5_idx:
             c5 = h
             s_c5, z_c5 = s_prev, z_prev
+            e_c5 = (eh, ew)  # c5 grid extents = valid_hw // 16
         if stop_after == i:
             # Profiling probe (scripts/profile_int8_stages.py): truncate the
             # REAL engine program after backbone conv i — prefix timing
@@ -489,7 +598,15 @@ def yolov2_int8_forward(
 
     # Quadrant passthrough + concat: re-quantize both sides to a common
     # scale (int8 path only; f32 concatenates directly).
-    quad = _quadrant(c5)
+    if eh is not None:
+        # Per-image quadrant split at NATIVE half extents (the reference's
+        # quadrant slices are relative to the native c5 map) — same reorg
+        # the bf16 masked path uses (models/yolov2.py).
+        from odc_tpu.models.yolov2 import quadrant_stack_dynamic
+
+        quad = quadrant_stack_dynamic(c5, e_c5[0], e_c5[1])
+    else:
+        quad = _quadrant(c5)
     if calibrating:
         cat = jnp.concatenate([quad, h], -1)
         amaxes.append(_range_stat(cat, stat))
@@ -509,6 +626,11 @@ def yolov2_int8_forward(
         neck_in = jnp.concatenate(
             [requant(quad, s_c5, z_c5), requant(h, s_prev, z_prev)], -1
         )
+        if eh is not None:
+            # Valid neck grid = valid_hw // 32 (== both the c7 extents
+            # after five pools and the quadrant's halved c5 extents); mask
+            # to the concat zero point before the 3x3 neck conv.
+            neck_in = _mask_codes(neck_in, eh, ew, z_cat)
 
     if stop_after == 21:  # after the quadrant concat / requant
         return neck_in
@@ -527,7 +649,12 @@ def yolov2_int8_forward(
         wsum = jnp.sum(wq.astype(jnp.float32), axis=(0, 1, 2))
         b = b - z_cat * wsum * a
         acc = _conv_i8(neck_in, wq).astype(jnp.float32)
-        acc = acc + _zp_border_correction(wq, z_cat, neck_in.shape[1:3])
+        if eh is not None:
+            acc = acc + _zp_border_correction_native(
+                wq, z_cat, neck_in.shape[1:3], eh, ew
+            )
+        else:
+            acc = acc + _zp_border_correction(wq, z_cat, neck_in.shape[1:3])
         neck = _leaky(acc * a + b)
     if stop_after == 22:  # after the neck conv
         return neck

