@@ -234,6 +234,8 @@ class Trainer:
         rng_seed: Optional[int] = None,
         augment_cfg=None,
         mesh=None,
+        eval_map_every: int = 0,
+        eval_map_conf_thre: float = 0.05,
     ) -> None:
         if not getattr(train_pipeline, "drop_remainder", True):
             raise ValueError(
@@ -276,6 +278,17 @@ class Trainer:
         )
         self.val_loss_mode = getattr(config, "val_loss_mode", "per_image")
         self.mesh = mesh
+        # mAP-during-training hook: the reference left its in-training
+        # evaluation commented out (``train.py:79``); here it is a real
+        # capability — every ``eval_map_every`` epochs run the streaming
+        # batched VOC mAP over the val pipeline's dataset, log the scores
+        # to metrics.jsonl, and keep a best-by-mAP checkpoint alongside
+        # best-by-val-loss.  ``eval_map_conf_thre`` defaults low (0.05):
+        # mAP needs the full precision-recall curve, and the reference's
+        # 0.9 detect default keeps almost nothing early in training.
+        self.eval_map_every = int(eval_map_every)
+        self.eval_map_conf_thre = float(eval_map_conf_thre)
+        self._map_detector = None  # built lazily on first use
         os.makedirs(ckpt_path, exist_ok=True)
         self.logger = JsonlLogger(os.path.join(ckpt_path, "metrics.jsonl"))
 
@@ -345,6 +358,41 @@ class Trainer:
         self.logger.write(kind="val_epoch", epoch=epoch, loss=val)
         return val
 
+    def run_map_eval(self, state: TrainState, epoch: int) -> dict:
+        """Streaming batched VOC mAP on the val dataset (the productionized
+        version of the reference's commented-out ``evaluate_model`` call,
+        ``train.py:79``).  Returns ``{"map_50": ..., "map_50_95": ...}`` and
+        writes a ``kind="map_eval"`` row to metrics.jsonl."""
+        from odc_tpu.eval import Detector, evaluate_batched
+
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if self._map_detector is None:
+            self._map_detector = Detector(
+                self.model, variables, conf_thre=self.eval_map_conf_thre
+            )
+        else:
+            # One Detector (one compiled program) for the whole run; only
+            # the weights change between evaluations.
+            self._map_detector.variables = variables
+        t0 = time.time()
+        result = evaluate_batched(
+            self._map_detector,
+            self.val_pipeline.dataset,
+            image_hw=self.val_pipeline.image_hw,
+            batch_size=self.val_pipeline.batch_size,
+        )
+        aps = np.stack([result[c] for c in self._map_detector.cls_list])
+        scores = {
+            "map_50": float(aps[:, 0].mean()),
+            "map_50_95": float(aps.mean()),
+        }
+        self.logger.write(
+            kind="map_eval", epoch=epoch, eval_seconds=time.time() - t0,
+            **scores,
+        )
+        return scores
+
     # -- full run ------------------------------------------------------------
 
     def _maybe_multiscale(self, epoch: int) -> None:
@@ -381,6 +429,7 @@ class Trainer:
 
         train_hist, val_hist = [], []
         min_val = float("inf")
+        best_map = -1.0
 
         for epoch in self.schedule.epochs():
             self._maybe_multiscale(epoch)
@@ -397,6 +446,18 @@ class Trainer:
                     os.path.join(self.ckpt_path, "best_model.ckpt"), state
                 )
                 min_val = val_loss
+            if self.eval_map_every and epoch % self.eval_map_every == 0:
+                scores = self.run_map_eval(state, epoch)
+                print(
+                    f"Epoch: {epoch} --> mAP@.5: {scores['map_50']:.4f}  "
+                    f"mAP[.5:.95]: {scores['map_50_95']:.4f}"
+                )
+                if scores["map_50_95"] > best_map:
+                    ckpt_lib.save(
+                        os.path.join(self.ckpt_path, "best_map_model.ckpt"),
+                        state,
+                    )
+                    best_map = scores["map_50_95"]
 
         ckpt_lib.save(os.path.join(self.ckpt_path, "final_model.ckpt"), state)
         history = {

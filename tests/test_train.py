@@ -254,3 +254,43 @@ def test_trainer_rejects_padded_train_pipeline(tmp_path):
     )
     with pytest.raises(ValueError, match="drop_remainder"):
         Trainer(YOLOv2(), bad, val, cfg, ckpt_path=str(tmp_path / "ck"))
+
+
+def test_trainer_map_eval_hook(voc, tmp_path):
+    """--eval-map-every: mAP rows in metrics.jsonl + best-by-mAP ckpt
+    (the productionized version of the reference's commented-out
+    evaluate_model call, train.py:79)."""
+    import json
+
+    model = YOLOv2(image_size=HW)
+    cfg = TrainConfig(
+        learning_rate_list=[1e-3],
+        num_epoch_list=[2],
+        batch_size=2,
+        max_boxes=8,
+        multiscale_sizes=(),
+    )
+    train_pipe = DetectionPipeline(
+        voc.train_dataset, image_hw=HW, batch_size=2, max_boxes=8, prefetch=0
+    )
+    val_pipe = DetectionPipeline(
+        voc.val_dataset, image_hw=HW, batch_size=2, max_boxes=8,
+        shuffle=False, prefetch=0,
+    )
+    trainer = Trainer(
+        model, train_pipe, val_pipe, cfg, ckpt_path=str(tmp_path),
+        eval_map_every=1,
+    )
+    trainer.fit()
+
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(tmp_path, "metrics.jsonl"))
+    ]
+    map_rows = [r for r in rows if r.get("kind") == "map_eval"]
+    assert [r["epoch"] for r in map_rows] == [1, 2]
+    for r in map_rows:
+        assert 0.0 <= r["map_50"] <= 1.0
+        assert 0.0 <= r["map_50_95"] <= 1.0
+        assert r["map_50_95"] <= r["map_50"] + 1e-9  # stricter IoU levels
+    assert os.path.exists(os.path.join(tmp_path, "best_map_model.ckpt"))

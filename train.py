@@ -62,6 +62,14 @@ def parse_args():
                    help="checkpoint path to resume from")
     p.add_argument("--eval-map", action="store_true",
                    help="run batched VOC mAP after training")
+    p.add_argument("--eval-map-every", type=int, default=0, metavar="N",
+                   help="run streaming batched VOC mAP on the val set every "
+                   "N epochs during training (the reference left this "
+                   "commented out, train.py:79); logs kind='map_eval' rows "
+                   "to metrics.jsonl and keeps best_map_model.ckpt")
+    p.add_argument("--eval-map-conf", type=float, default=0.05,
+                   help="confidence threshold for --eval-map-every (low "
+                   "default: mAP needs the full PR curve)")
     p.add_argument("--qat", default=None, metavar="CKPT",
                    help="QAT mode (YOLOv2 only): fine-tune this trained "
                    "checkpoint against the frozen-scales int8 engine "
@@ -227,6 +235,8 @@ def main():
     trainer = Trainer(
         model, train_pipe, val_pipe, train_cfg,
         ckpt_path=ckpt_path, augment_cfg=augment_cfg, mesh=mesh,
+        eval_map_every=args.eval_map_every,
+        eval_map_conf_thre=args.eval_map_conf,
     )
 
     state = None
