@@ -55,17 +55,24 @@ class Darknet53Backbone(nn.Module):
     downsample_padding: str = "VALID"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stop_after=None):
         """[N, H, W, 3] RGB (0-255) -> final feature map [N, h, w, 1024].
 
         Also returns the c4 (512-ch) and c3 (256-ch) taps a YOLOv3-style
         FPN head would consume.
-        """
+
+        ``stop_after`` (profiling probe, apply-only): ``"stem"`` or
+        ``"b1"``..``"b5"`` truncates the program after that block and
+        returns the intermediate — prefix-timing diffs of the REAL
+        compiled program are the only trustworthy per-stage costs
+        (PROFILE.md round-4 profiling lessons)."""
         h = imagenet_normalize(x, self.dtype)
         h = ConvBnLeaky(32, (3, 3), dtype=self.dtype)(h, train)
+        if stop_after == "stem":
+            return h
 
         taps = {}
-        for features, repeat in _BLOCKS:
+        for bi, (features, repeat) in enumerate(_BLOCKS):
             h = ConvBnLeaky(
                 features, (3, 3), strides=(2, 2),
                 padding=self.downsample_padding,
@@ -76,5 +83,7 @@ class Darknet53Backbone(nn.Module):
                     h, train
                 )
             taps[features] = h
+            if stop_after == f"b{bi + 1}":
+                return h
 
         return taps[256], taps[512], taps[1024]

@@ -63,15 +63,24 @@ class YOLOv3(nn.Module):
         return 3  # per scale; 9 anchors total across the 3 heads
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stop_after=None):
         """[N, H, W, 3] RGB (0-255), H/W multiples of 32 (>= 64) ->
         (y32, y16, y8): per-scale raw heads [N, Hg, Wg, 3, 5 + num_cls],
-        coarsest first (matching ``decode_v3``'s anchor-group order)."""
+        coarsest first (matching ``decode_v3``'s anchor-group order).
+
+        ``stop_after`` (profiling probe, apply-only): ``"stem"``/``"b1"``..
+        ``"b5"`` (backbone blocks), ``"p5"``/``"y32"``/``"p4"``/``"y16"``/
+        ``"p3"`` — truncate the program there and return the intermediate
+        (prefix-timing methodology, PROFILE.md)."""
         a = self.num_anchor_box
         out_dim = a * (5 + self.num_cls)
         # SAME-padded downsamples (exact stride-8/16/32 taps): the
         # reference backbone's VALID quirk misaligns the FPN concat at
         # every input size — see Darknet53Backbone.downsample_padding.
+        if stop_after in ("stem", "b1", "b2", "b3", "b4", "b5"):
+            return Darknet53Backbone(
+                dtype=self.dtype, downsample_padding="SAME"
+            )(x, train, stop_after=stop_after)
         c3, c4, c5 = Darknet53Backbone(
             dtype=self.dtype, downsample_padding="SAME"
         )(x, train)
@@ -90,18 +99,28 @@ class YOLOv3(nn.Module):
             )
 
         p5 = _FiveConv(512, dtype=self.dtype)(c5, train)
+        if stop_after == "p5":
+            return p5
         y32 = head(p5)
+        if stop_after == "y32":
+            return y32
 
         r4 = upsample2(ConvBnLeaky(256, (1, 1), dtype=self.dtype)(p5, train))
         p4 = _FiveConv(256, dtype=self.dtype)(
             jnp.concatenate([r4, c4], axis=-1), train
         )
+        if stop_after == "p4":
+            return p4
         y16 = head(p4)
+        if stop_after == "y16":
+            return y16
 
         r3 = upsample2(ConvBnLeaky(128, (1, 1), dtype=self.dtype)(p4, train))
         p3 = _FiveConv(128, dtype=self.dtype)(
             jnp.concatenate([r3, c3], axis=-1), train
         )
+        if stop_after == "p3":
+            return p3
         y8 = head(p3)
 
         return y32, y16, y8
