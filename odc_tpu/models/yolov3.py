@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from odc_tpu.models.backbones.darknet53 import Darknet53Backbone
-from odc_tpu.models.layers import ConvBnLeaky
+from odc_tpu.models.layers import ConvBnLeaky, TorchBatchNorm
 from odc_tpu.ops.decode import decode_v3, Detections, YOLOV3_ANCHORS
 
 
@@ -36,20 +36,55 @@ def upsample2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class _FiveConv(nn.Module):
-    """The paper's per-scale block: 1x1(f) 3x3(2f) 1x1(f) 3x3(2f) 1x1(f)."""
+    """The paper's per-scale block: 1x1(f) 3x3(2f) 1x1(f) 3x3(2f) 1x1(f).
+
+    ``first=False`` drops the leading 1x1 (it was computed by
+    :class:`_LateralMerge` on the fused top-down path)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    first: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.features
+        layers = (((1, 1), f), ((3, 3), 2 * f), ((1, 1), f), ((3, 3), 2 * f),
+                  ((1, 1), f))
+        for k, ff in layers if self.first else layers[1:]:
+            x = ConvBnLeaky(ff, k, dtype=self.dtype)(x, train)
+        return x
+
+
+class _LateralMerge(nn.Module):
+    """Top-down merge + the per-scale block's first 1x1, fused EXACTLY.
+
+    A 1x1 conv is pointwise and nearest upsampling is a repeat, so they
+    commute::
+
+        conv1x1(concat([upsample2(r), c])) == upsample2(conv_r(r)) + conv_c(c)
+
+    (the concat kernel splits row-wise into ``W_r``/``W_c``; same sums, so
+    identical up to float reassociation).  The TPU payoff, measured in
+    PROFILE.md "YOLOv3 per-stage roofline": the r-branch matmul runs at the
+    COARSE resolution (4x fewer MACs) and the [N, 2H, 2W, Cr+Cc] concat —
+    the widest tensor of each FPN stage — is never materialized in HBM.
+    BN + leaky apply to the sum, which has identical statistics to the
+    concat formulation's conv output."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        f = self.features
-        for i, (k, ff) in enumerate(
-            (((1, 1), f), ((3, 3), 2 * f), ((1, 1), f), ((3, 3), 2 * f),
-             ((1, 1), f))
-        ):
-            x = ConvBnLeaky(ff, k, dtype=self.dtype)(x, train)
-        return x
+    def __call__(self, r, c, train: bool = False):
+        conv = dict(padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32)
+        zr = nn.Conv(self.features, (1, 1), use_bias=True, **conv)(r)
+        zc = nn.Conv(self.features, (1, 1), use_bias=False, **conv)(c)
+        z = upsample2(zr) + zc
+        z = TorchBatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        )(z)
+        return nn.leaky_relu(z, 0.1).astype(self.dtype)
 
 
 class YOLOv3(nn.Module):
@@ -57,6 +92,12 @@ class YOLOv3(nn.Module):
     anchors: Tuple[Tuple[float, float], ...] = YOLOV3_ANCHORS  # pixels
     dtype: jnp.dtype = jnp.float32
     image_size: Tuple[int, int] = (416, 416)
+    # Fuse each top-down merge's upsample+concat+1x1 via _LateralMerge
+    # (exact up to float reassociation; the default).  False keeps the
+    # paper-literal concat formulation — same math, more HBM traffic —
+    # used by tests/test_yolov3.py::test_lateral_merge_exactness and the
+    # PROFILE.md A/B.
+    fused_lateral: bool = True
 
     @property
     def num_anchor_box(self) -> int:
@@ -70,8 +111,11 @@ class YOLOv3(nn.Module):
 
         ``stop_after`` (profiling probe, apply-only): ``"stem"``/``"b1"``..
         ``"b5"`` (backbone blocks), ``"p5"``/``"y32"``/``"p4"``/``"y16"``/
-        ``"p3"`` — truncate the program there and return the intermediate
-        (prefix-timing methodology, PROFILE.md)."""
+        ``"p3"`` — truncate the program there (prefix-timing methodology,
+        PROFILE.md).  Probes past the first head return CUMULATIVE tuples
+        (earlier heads included) so each prefix is a strict superset of the
+        previous one — otherwise XLA dead-code-eliminates the already-timed
+        heads and adjacent diffs subtract them back out."""
         a = self.num_anchor_box
         out_dim = a * (5 + self.num_cls)
         # SAME-padded downsamples (exact stride-8/16/32 taps): the
@@ -105,22 +149,30 @@ class YOLOv3(nn.Module):
         if stop_after == "y32":
             return y32
 
-        r4 = upsample2(ConvBnLeaky(256, (1, 1), dtype=self.dtype)(p5, train))
-        p4 = _FiveConv(256, dtype=self.dtype)(
-            jnp.concatenate([r4, c4], axis=-1), train
-        )
+        t4 = ConvBnLeaky(256, (1, 1), dtype=self.dtype)(p5, train)
+        if self.fused_lateral:
+            m4 = _LateralMerge(256, dtype=self.dtype)(t4, c4, train)
+            p4 = _FiveConv(256, dtype=self.dtype, first=False)(m4, train)
+        else:
+            p4 = _FiveConv(256, dtype=self.dtype)(
+                jnp.concatenate([upsample2(t4), c4], axis=-1), train
+            )
         if stop_after == "p4":
-            return p4
+            return y32, p4
         y16 = head(p4)
         if stop_after == "y16":
-            return y16
+            return y32, y16
 
-        r3 = upsample2(ConvBnLeaky(128, (1, 1), dtype=self.dtype)(p4, train))
-        p3 = _FiveConv(128, dtype=self.dtype)(
-            jnp.concatenate([r3, c3], axis=-1), train
-        )
+        t3 = ConvBnLeaky(128, (1, 1), dtype=self.dtype)(p4, train)
+        if self.fused_lateral:
+            m3 = _LateralMerge(128, dtype=self.dtype)(t3, c3, train)
+            p3 = _FiveConv(128, dtype=self.dtype, first=False)(m3, train)
+        else:
+            p3 = _FiveConv(128, dtype=self.dtype)(
+                jnp.concatenate([upsample2(t3), c3], axis=-1), train
+            )
         if stop_after == "p3":
-            return p3
+            return y32, y16, p3
         y8 = head(p3)
 
         return y32, y16, y8

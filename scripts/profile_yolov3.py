@@ -64,6 +64,17 @@ def segment_flops(size):
     def head(hw, f):  # 3x3 f->2f + 1x1 2f->75
         return conv_flops(hw, 3, f, 2 * f) + conv_flops(hw, 1, 2 * f, 75)
 
+    def merge_stage(hw, c_lat, f):
+        """t reduce (1x1 2f->f at hw/2) + fused lateral merge (zr at hw/2,
+        zc over the c_lat-ch backbone tap at hw) + the remaining four
+        five-conv layers at hw (models/yolov3.py::_LateralMerge)."""
+        return (
+            conv_flops(hw // 2, 1, 2 * f, f)       # t reduce
+            + conv_flops(hw // 2, 1, f, f)         # zr (coarse)
+            + conv_flops(hw, 1, c_lat, f)          # zc (fine)
+            + 2 * (conv_flops(hw, 3, f, 2 * f) + conv_flops(hw, 1, 2 * f, f))
+        )
+
     segs = {
         "stem": conv_flops(s, 3, 3, 32),
         "b1": conv_flops(s // 2, 3, 32, 64) + 1 * res_block(s // 2, 64),
@@ -73,10 +84,9 @@ def segment_flops(size):
         "b5": conv_flops(s // 32, 3, 512, 1024) + 4 * res_block(s // 32, 1024),
         "p5": five(s // 32, 1024, 512),
         "y32": head(s // 32, 512),
-        # p4 segment includes the r4 1x1 reduce + upsample
-        "p4": conv_flops(s // 32, 1, 512, 256) + five(s // 16, 768, 256),
+        "p4": merge_stage(s // 16, 512, 256),
         "y16": head(s // 16, 256),
-        "p3": conv_flops(s // 16, 1, 256, 128) + five(s // 8, 384, 128),
+        "p3": merge_stage(s // 8, 256, 128),
         "y8(full)": head(s // 8, 128),
     }
     return {k: v / 1e9 for k, v in segs.items()}
@@ -110,15 +120,21 @@ def main():
     print("|---|---|---|---|---|---|")
     prev = 0.0
     for name, cut in PROBES:
-        f = jax.jit(
-            lambda v, x, cut=cut: model.apply(
-                v, x, train=False, stop_after=cut
-            )
-        )
+        # Return a 1-element slice behind an optimization_barrier: the
+        # barrier forces the full truncated output to be computed (no DCE
+        # narrowing of the last conv), while the tiny returned buffer keeps
+        # the async dispatch queue from holding N multi-GB outputs in
+        # flight (bf16 stem output at bs=256 is 2.8 GB -> OOM otherwise).
+        def f_(v, x, cut=cut):
+            out = model.apply(v, x, train=False, stop_after=cut)
+            out = jax.tree.map(jax.lax.optimization_barrier, out)
+            return jax.tree.map(lambda t: t.ravel()[:1], out)
+
+        f = jax.jit(f_)
         t = bench(f, variables, images)
         seg = t - prev
         gf = flops[name]
-        tfs = gf * BS / max(seg, 1e-9) / 1e9 * 1e3  # GFLOP*B / ms -> TF/s
+        tfs = gf * BS / max(seg, 1e-9)  # GFLOP*B / ms == TF/s
         print(
             f"| {name} | {t:.2f} | {seg:+.2f} | {gf:.2f} | {tfs:.0f} "
             f"| {tfs / PEAK_TFS:.0%} |",

@@ -70,6 +70,61 @@ def test_forward_head_shapes(v3_setup):
     assert det.cls_spec.shape == (2, g, 20)
 
 
+def test_lateral_merge_exactness():
+    """The fused top-down merge (models/yolov3.py::_LateralMerge) is the
+    concat formulation EXACTLY: a 1x1 conv is pointwise and nearest
+    upsampling is a repeat, so conv1x1(concat([up(r), c])) ==
+    up(conv_r(r)) + conv_c(c) when the concat kernel is split row-wise.
+    Proven by param surgery: init the concat model, split each stage's
+    first-five-conv kernel into the merge's two kernels, and compare full
+    f32 forwards on random input."""
+    concat_model = YOLOv3(image_size=HW, fused_lateral=False)
+    fused_model = YOLOv3(image_size=HW, fused_lateral=True)
+    x = jax.random.randint(
+        jax.random.key(2), (2,) + HW + (3,), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+    cv = jax.jit(concat_model.init)(jax.random.key(1), x)
+    fv = jax.jit(fused_model.init)(jax.random.key(1), x)
+
+    import copy
+
+    fv = copy.deepcopy(jax.device_get(fv))
+    cvp, cvs = jax.device_get(cv["params"]), jax.device_get(cv["batch_stats"])
+    # Stage-4 merge consumes r4 (256ch from t4) + c4 (512ch); stage-3
+    # consumes r3 (128ch) + c3 (256ch).  In the concat model the first
+    # five-conv layer is _FiveConv_{1,2}.ConvBnLeaky_0 over the concat.
+    for merge, five, nr in (
+        ("_LateralMerge_0", "_FiveConv_1", 256),
+        ("_LateralMerge_1", "_FiveConv_2", 128),
+    ):
+        src_p = cvp[five]["ConvBnLeaky_0"]
+        src_s = cvs[five]["ConvBnLeaky_0"]
+        k = src_p["Conv_0"]["kernel"]  # [1, 1, nr + nc, f]
+        fv["params"][merge]["Conv_0"]["kernel"] = k[:, :, :nr, :]
+        fv["params"][merge]["Conv_0"]["bias"] = src_p["Conv_0"]["bias"]
+        fv["params"][merge]["Conv_1"]["kernel"] = k[:, :, nr:, :]
+        fv["params"][merge]["TorchBatchNorm_0"] = src_p["BatchNorm_0"]
+        fv["batch_stats"][merge]["TorchBatchNorm_0"] = src_s["BatchNorm_0"]
+        # Remaining four layers shift down by one slot.
+        for i in range(1, 5):
+            fv["params"][five][f"ConvBnLeaky_{i - 1}"] = (
+                cvp[five][f"ConvBnLeaky_{i}"])
+            fv["batch_stats"][five][f"ConvBnLeaky_{i - 1}"] = (
+                cvs[five][f"ConvBnLeaky_{i}"])
+    # Every other module is named identically in both formulations.
+    for tree, src in (("params", cvp), ("batch_stats", cvs)):
+        for name, val in src.items():
+            if not name.startswith(("_FiveConv_1", "_FiveConv_2")):
+                fv[tree][name] = val
+
+    out_c = concat_model.apply(cv, x, train=False)
+    out_f = fused_model.apply(fv, x, train=False)
+    for yc, yf in zip(out_c, out_f):
+        np.testing.assert_allclose(
+            np.asarray(yc), np.asarray(yf), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_decode_v3_numpy_oracle():
     """decode_v3 == the paper's formulas in plain numpy, per scale:
     bx = (sigma(tx)+cx)*stride, bw = a_w*exp(tw), multi-label sigmoid
