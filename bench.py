@@ -113,11 +113,14 @@ def bench_yolov3(batch_sizes=(256, 128, 64), image_size=416,
     decode+NMS over all 10 647 boxes).  Capability extension — the
     reference never built YOLOv3 (dead Darknet-53 backbone), so there is
     no baseline config for it; the number documents the family's
-    single-chip serving rate.  bf16 (the int8 PTQ engine is v2-specific)."""
+    single-chip serving rate.  Serving precision: dynamic int8 on the
+    wide 3x3s (``YOLOv3(int8_dynamic=True)``), measured 2 084 -> 2 558
+    img/s over bf16 on the v5e (PROFILE.md "int8 on YOLOv3's shapes")."""
     from odc_tpu.models import YOLOv3
     from odc_tpu.ops.detect import make_infer_fn
 
-    model = YOLOv3(dtype=jnp.bfloat16, image_size=(image_size, image_size))
+    model = YOLOv3(dtype=jnp.bfloat16, image_size=(image_size, image_size),
+                   int8_dynamic=True)
     infer = jax.jit(
         make_infer_fn(model, conf_thre=0.9, iou_thre=0.5, max_keep=64)
     )

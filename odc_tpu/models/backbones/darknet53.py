@@ -27,11 +27,15 @@ class _Residual(nn.Module):
     reduce_features: int
     features: int
     dtype: jnp.dtype = jnp.float32
+    int8_dynamic: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = ConvBnLeaky(self.reduce_features, (1, 1), dtype=self.dtype)(x, train)
-        h = ConvBnLeaky(self.features, (3, 3), dtype=self.dtype)(h, train)
+        h = ConvBnLeaky(
+            self.features, (3, 3), dtype=self.dtype,
+            int8_dynamic=self.int8_dynamic,
+        )(h, train)
         return h + x
 
 
@@ -53,6 +57,9 @@ class Darknet53Backbone(nn.Module):
     # stays the parity default; YOLOv3 passes "SAME" (the actual darknet
     # pad=1 behavior: exact halving for even sizes, aligned taps).
     downsample_padding: str = "VALID"
+    # Serving-time dynamic int8 for the wide 3x3s (>=128 input channels);
+    # see ConvBnLeaky.int8_dynamic.  Same params either way.
+    int8_dynamic: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, stop_after=None):
@@ -77,11 +84,13 @@ class Darknet53Backbone(nn.Module):
                 features, (3, 3), strides=(2, 2),
                 padding=self.downsample_padding,
                 dtype=self.dtype,
+                int8_dynamic=self.int8_dynamic,
             )(h, train)
             for _ in range(repeat):
-                h = _Residual(features // 2, features, dtype=self.dtype)(
-                    h, train
-                )
+                h = _Residual(
+                    features // 2, features, dtype=self.dtype,
+                    int8_dynamic=self.int8_dynamic,
+                )(h, train)
             taps[features] = h
             if stop_after == f"b{bi + 1}":
                 return h

@@ -96,7 +96,17 @@ class TorchBatchNorm(nn.Module):
 
 
 class ConvBnLeaky(nn.Module):
-    """Conv (SAME) + BatchNorm + LeakyReLU(0.1)."""
+    """Conv (SAME) + BatchNorm + LeakyReLU(0.1).
+
+    ``int8_dynamic`` (inference-only serving option): run the conv on the
+    MXU's int8 path — weights symmetric per-out-channel, activations
+    per-tensor dynamic, int32 accumulation, dequant before the exact BN
+    affine (the ``ops/quantize.py`` scheme).  Gated in-module to the shapes
+    where int8 measurably wins on v5e (3x3 kernels with >=128 input
+    channels — PROFILE.md "int8 on YOLOv3's shapes": 0.70-0.85x of the
+    bf16 time there, a LOSS at narrow/small-K shapes).  Ignored during
+    training and init; the same params serve both precisions, so any bf16
+    checkpoint deploys quantized with no conversion."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -105,18 +115,44 @@ class ConvBnLeaky(nn.Module):
     use_bias: bool = True  # torch Conv2d default; reference keeps it
     padding: str = "SAME"
     dtype: jnp.dtype = jnp.float32
+    int8_dynamic: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=self.padding,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        use_int8 = (
+            self.int8_dynamic and not train and not self.is_initializing()
+            and tuple(self.kernel) == (3, 3) and x.shape[-1] >= 128
+        )
+        if use_int8:
+            from odc_tpu.ops.quantize import (
+                quantize_dynamic, quantize_weights_per_channel,
+            )
+
+            p = self.variables["params"]["Conv_0"]
+            xq, sx = quantize_dynamic(x)
+            wq, sw = quantize_weights_per_channel(p["kernel"])
+            dn = jax.lax.conv_dimension_numbers(
+                xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, self.strides, self.padding,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            x = acc.astype(jnp.float32) * (sx * sw)
+            if self.use_bias:
+                x = x + p["bias"].astype(jnp.float32)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=self.padding,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="Conv_0",
+            )(x)
         x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch BatchNorm2d momentum=0.1 <=> decay 0.9

@@ -44,6 +44,7 @@ class _FiveConv(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     first: bool = True
+    int8_dynamic: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -51,7 +52,9 @@ class _FiveConv(nn.Module):
         layers = (((1, 1), f), ((3, 3), 2 * f), ((1, 1), f), ((3, 3), 2 * f),
                   ((1, 1), f))
         for k, ff in layers if self.first else layers[1:]:
-            x = ConvBnLeaky(ff, k, dtype=self.dtype)(x, train)
+            x = ConvBnLeaky(
+                ff, k, dtype=self.dtype, int8_dynamic=self.int8_dynamic,
+            )(x, train)
         return x
 
 
@@ -98,6 +101,11 @@ class YOLOv3(nn.Module):
     # used by tests/test_yolov3.py::test_lateral_merge_exactness and the
     # PROFILE.md A/B.
     fused_lateral: bool = True
+    # Serving-time dynamic int8 for every 3x3 with >=128 input channels
+    # (backbone b3-b5, FPN five-convs, head 3x3s) — measured 2116 -> see
+    # PROFILE.md "int8 on YOLOv3's shapes".  Same params as bf16; ignored
+    # during training.
+    int8_dynamic: bool = False
 
     @property
     def num_anchor_box(self) -> int:
@@ -123,16 +131,19 @@ class YOLOv3(nn.Module):
         # every input size — see Darknet53Backbone.downsample_padding.
         if stop_after in ("stem", "b1", "b2", "b3", "b4", "b5"):
             return Darknet53Backbone(
-                dtype=self.dtype, downsample_padding="SAME"
+                dtype=self.dtype, downsample_padding="SAME",
+                int8_dynamic=self.int8_dynamic,
             )(x, train, stop_after=stop_after)
         c3, c4, c5 = Darknet53Backbone(
-            dtype=self.dtype, downsample_padding="SAME"
+            dtype=self.dtype, downsample_padding="SAME",
+            int8_dynamic=self.int8_dynamic,
         )(x, train)
 
         def head(h):
-            h = ConvBnLeaky(2 * h.shape[-1], (3, 3), dtype=self.dtype)(
-                h, train
-            )
+            h = ConvBnLeaky(
+                2 * h.shape[-1], (3, 3), dtype=self.dtype,
+                int8_dynamic=self.int8_dynamic,
+            )(h, train)
             y = nn.Conv(
                 out_dim, (1, 1), padding="SAME",
                 dtype=self.dtype, param_dtype=jnp.float32,
@@ -142,7 +153,9 @@ class YOLOv3(nn.Module):
                 jnp.float32
             )
 
-        p5 = _FiveConv(512, dtype=self.dtype)(c5, train)
+        p5 = _FiveConv(
+            512, dtype=self.dtype, int8_dynamic=self.int8_dynamic,
+        )(c5, train)
         if stop_after == "p5":
             return p5
         y32 = head(p5)
@@ -152,11 +165,14 @@ class YOLOv3(nn.Module):
         t4 = ConvBnLeaky(256, (1, 1), dtype=self.dtype)(p5, train)
         if self.fused_lateral:
             m4 = _LateralMerge(256, dtype=self.dtype)(t4, c4, train)
-            p4 = _FiveConv(256, dtype=self.dtype, first=False)(m4, train)
+            p4 = _FiveConv(
+                256, dtype=self.dtype, first=False,
+                int8_dynamic=self.int8_dynamic,
+            )(m4, train)
         else:
-            p4 = _FiveConv(256, dtype=self.dtype)(
-                jnp.concatenate([upsample2(t4), c4], axis=-1), train
-            )
+            p4 = _FiveConv(
+                256, dtype=self.dtype, int8_dynamic=self.int8_dynamic,
+            )(jnp.concatenate([upsample2(t4), c4], axis=-1), train)
         if stop_after == "p4":
             return y32, p4
         y16 = head(p4)
@@ -166,11 +182,14 @@ class YOLOv3(nn.Module):
         t3 = ConvBnLeaky(128, (1, 1), dtype=self.dtype)(p4, train)
         if self.fused_lateral:
             m3 = _LateralMerge(128, dtype=self.dtype)(t3, c3, train)
-            p3 = _FiveConv(128, dtype=self.dtype, first=False)(m3, train)
+            p3 = _FiveConv(
+                128, dtype=self.dtype, first=False,
+                int8_dynamic=self.int8_dynamic,
+            )(m3, train)
         else:
-            p3 = _FiveConv(128, dtype=self.dtype)(
-                jnp.concatenate([upsample2(t3), c3], axis=-1), train
-            )
+            p3 = _FiveConv(
+                128, dtype=self.dtype, int8_dynamic=self.int8_dynamic,
+            )(jnp.concatenate([upsample2(t3), c3], axis=-1), train)
         if stop_after == "p3":
             return y32, y16, p3
         y8 = head(p3)

@@ -125,6 +125,32 @@ def test_lateral_merge_exactness():
         )
 
 
+def test_int8_dynamic_close_and_train_exact(v3_setup):
+    """YOLOv3(int8_dynamic=True): the serving-time dynamic-int8 3x3 path
+    (ConvBnLeaky.int8_dynamic — measured 2 084 -> 2 558 img/s on the v5e,
+    PROFILE.md "int8 on YOLOv3's shapes") shares params with the bf16
+    model, stays within a few percent of it at inference, and is IGNORED
+    during training (bit-identical train forward)."""
+    model, variables = v3_setup
+    m_i8 = YOLOv3(image_size=HW, int8_dynamic=True)
+    x = jax.random.randint(
+        jax.random.key(5), (2,) + HW + (3,), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+
+    yb = model.apply(variables, x, train=False)
+    yi = m_i8.apply(variables, x, train=False)
+    for a, b in zip(yb, yi):
+        a, b = np.asarray(a), np.asarray(b)
+        # Per-tensor dynamic act quant + per-channel weights: ~2-4%
+        # relative error on random init (trained nets are tighter).
+        assert np.abs(a - b).max() <= 0.08 * max(np.abs(a).max(), 1e-6)
+
+    tb, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    ti, _ = m_i8.apply(variables, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(tb, ti):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_decode_v3_numpy_oracle():
     """decode_v3 == the paper's formulas in plain numpy, per scale:
     bx = (sigma(tx)+cx)*stride, bw = a_w*exp(tw), multi-label sigmoid
