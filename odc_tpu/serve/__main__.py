@@ -44,6 +44,10 @@ def parse_args():
                    "full class-score tensor (5x less output traffic)")
     p.add_argument("--int8", action="store_true",
                    help="full-int8 PTQ engine (YOLOv2 only)")
+    p.add_argument("--int8-dynamic", action="store_true",
+                   help="dynamic int8 on the wide 3x3s (YOLOv3 only; no "
+                   "calibration — measured 2084 -> 2558 img/s on v5e, "
+                   "PROFILE.md 'int8 on YOLOv3's shapes')")
     p.add_argument("--int8-stem", default="s2d",
                    choices=["plain", "s2d", "s2d2"])
     p.add_argument("--calib", default=None,
@@ -81,7 +85,14 @@ def main():
             image_size=(size, size),
         )
     else:
-        model = get_model(args.model, image_size=(size, size))
+        kw = {}
+        if args.int8_dynamic:
+            if args.model != "YOLOv3":
+                raise SystemExit("--int8-dynamic is YOLOv3-only "
+                                 "(ConvBnLeaky.int8_dynamic; v2 ships the "
+                                 "full PTQ engine via --int8)")
+            kw["int8_dynamic"] = True
+        model = get_model(args.model, image_size=(size, size), **kw)
     variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.uint8)
     )

@@ -416,3 +416,49 @@ def test_serve_export_v3_roundtrip(v3_setup, tmp_path):
            for o in ref_fn(variables, jnp.asarray(img), 0.0, 0.5)]
     for g, r in zip(got, ref):
         np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
+def test_serve_export_v3_int8_dynamic(v3_setup, tmp_path):
+    """The dynamic-int8 serving graph exports/loads/predicts (the int8
+    convs bake into the AOT artifact).  Box-set comparison, not ordered
+    equality: the export lowering can shift a quantization code by one,
+    and with random weights + conf_thre=0 the candidate confs are
+    near-tied, so NMS ORDER is not stable across the two programs — each
+    kept box must instead match a live kept box within a pixel."""
+    from odc_tpu.ops.detect import make_infer_fn
+    from odc_tpu.serve import export_engine, load_engine, save_engine
+
+    _, variables = v3_setup
+    model = YOLOv3(image_size=HW, int8_dynamic=True)
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (1,) + HW + (3,), dtype=np.uint8)
+    data = export_engine(
+        model, variables, batch_size=1, image_hw=HW,
+        conf_thre=0.0, max_keep=8,
+    )
+    path = tmp_path / "v3i8.odce"
+    save_engine(str(path), data)
+    eng = load_engine(str(path))
+
+    boxes_g, scores_g, _, keep_g = eng.predict(
+        img, conf_thre=0.0, iou_thre=0.5
+    )
+    ref_fn = jax.jit(make_infer_fn(model, 0.0, 0.5, 8))
+    boxes_r, scores_r, _, keep_r = (
+        np.asarray(o)
+        for o in ref_fn(variables, jnp.asarray(img), 0.0, 0.5)
+    )
+    assert keep_g.sum() == keep_r.sum()
+    # Near-tied confs mean a one-code flip can swap which of two
+    # overlapping candidates NMS keeps, so require the score PROFILE to
+    # match tightly and the large majority of boxes to coincide — a wrong
+    # graph fails both by miles.
+    np.testing.assert_allclose(
+        np.sort(np.asarray(scores_g)[0][np.asarray(keep_g)[0]]),
+        np.sort(scores_r[0][keep_r[0]]), atol=5e-3,
+    )
+    kept_g = np.asarray(boxes_g)[0][np.asarray(keep_g)[0]]
+    dmin = np.array([
+        np.abs(boxes_r[0][keep_r[0]] - b).max(axis=-1).min() for b in kept_g
+    ])
+    assert (dmin < 1.0).sum() >= int(0.75 * len(kept_g)), dmin
